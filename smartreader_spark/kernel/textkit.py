@@ -1,0 +1,130 @@
+"""Text-level scalar functions.
+
+Parity: Readability.cs:324-336 (TextSimilarity), :246-249 (wordCount),
+Article.cs:268-344 (ConvertToPlaintext), TimeToReadCalculator.cs.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+from .dom import Element, Node
+from .regexes import NON_WORD_TOKENIZER, WHITESPACE
+
+
+def word_count(s: str) -> int:
+    """Readability.cs:246-249 — Regex.Split(@'\\s+').Length (C# split keeps
+    leading/trailing empty fields, so ' a b ' -> ['', 'a', 'b', ''] = 4)."""
+    return len(re.split(r"\s+", s))
+
+
+def text_similarity(text_a: str, text_b: str) -> float:
+    """Readability.cs:324-336 — 1 − len(join(unique-B-tokens))/len(join(B))."""
+    tokens_a = [t for t in NON_WORD_TOKENIZER.split(text_a.lower()) if t]
+    tokens_b = [t for t in NON_WORD_TOKENIZER.split(text_b.lower()) if t]
+    if not tokens_a or not tokens_b:
+        return 0.0
+    set_a = set(tokens_a)
+    uniq_b = [t for t in tokens_b if t not in set_a]
+    distance_b = len(" ".join(uniq_b)) / len(" ".join(tokens_b))
+    return 1.0 - distance_b
+
+
+def _convert_to_text(el: Element, out: list[str]) -> None:
+    """Article.cs:320-344 ConvertToText — newline before P/BR, after P.
+    Iterative to survive deep trees."""
+    # emulate the recursion with an explicit (node, phase) stack
+    stack: list[tuple[Element, int]] = [(el, 0)]
+    while stack:
+        node, phase = stack.pop()
+        if phase == 0:
+            if node.tag in ("p", "br"):
+                out.append("\n")
+            stack.append((node, 1))
+            # push children in reverse so they pop in document order
+            for child in reversed(node.child_nodes):
+                if child.node_type == Node.ELEMENT:
+                    stack.append((child, 0))  # type: ignore[arg-type]
+                elif child.node_type == Node.TEXT:
+                    stack.append((child, 2))  # type: ignore[arg-type]
+        elif phase == 1:
+            if node.tag == "p":
+                out.append("\n")
+        else:  # text node payload
+            out.append(node.data)  # type: ignore[attr-defined]
+
+
+_TABS = re.compile(r"\t+")
+_MULTI_NL = re.compile(r"(\r?\n){3,}")
+
+
+def convert_to_plaintext(el: Element) -> str:
+    """Article.cs:268-318 — whitespace state machine."""
+    parts: list[str] = []
+    _convert_to_text(el, parts)
+    text = _TABS.sub(" ", "".join(parts))
+
+    out: list[str] = []
+    previous_space = False
+    previous_newline = False
+    n = len(text)
+    for i, ch in enumerate(text):
+        # char.IsSeparator == Unicode Z* categories
+        is_space = unicodedata.category(ch).startswith("Z")
+        is_newline = ch in ("\r", "\n")
+        is_next_newline = i < n - 1 and text[i + 1] in ("\r", "\n")
+        if (is_space and is_next_newline) or (previous_newline and is_space) or (
+            previous_space and is_space
+        ):
+            pass
+        else:
+            out.append(ch)
+        previous_space = is_space
+        previous_newline = is_newline
+    text = "".join(out).strip()
+    return _MULTI_NL.sub("\n\n", text)
+
+
+# TimeToReadCalculator.cs:10-29 — chars/minute by language English name
+CHARACTERS_MINUTE = {
+    "Arabic": 612, "Chinese": 255, "Dutch": 978, "English": 987,
+    "Finnish": 1078, "French": 998, "German": 920, "Hebrew": 833,
+    "Italian": 950, "Japanese": 357, "Polish": 916, "Portuguese": 913,
+    "Swedish": 917, "Slovenian": 885, "Spanish": 1025, "Russian": 986,
+    "Turkish": 1054,
+}
+
+# CultureInfo(lang).EnglishName prefix → table key. Primary subtags only;
+# unknown → the 960 default (TimeToReadCalculator.cs:66).
+_LANG_TO_ENGLISH_NAME = {
+    "ar": "Arabic", "zh": "Chinese", "nl": "Dutch", "en": "English",
+    "fi": "Finnish", "fr": "French", "de": "German", "he": "Hebrew",
+    "it": "Italian", "ja": "Japanese", "pl": "Polish", "pt": "Portuguese",
+    "sv": "Swedish", "sl": "Slovenian", "es": "Spanish", "ru": "Russian",
+    "tr": "Turkish",
+}
+
+
+def chars_per_minute(language: str | None) -> int:
+    """TimeToReadCalculator.cs:49-69."""
+    if language:
+        primary = language.split("-")[0].split("_")[0].strip().lower()
+        name = _LANG_TO_ENGLISH_NAME.get(primary)
+        if name:
+            return CHARACTERS_MINUTE[name]
+    return 960
+
+
+def time_to_read_minutes(element_text: str, plaintext: str, language: str | None) -> int:
+    """TimeToReadCalculator.cs:33-47 — whole minutes (C# integer division),
+    minimum 1 when there is any text; 0 when TextContent empty."""
+    if not plaintext:
+        return 0
+    weight = chars_per_minute(language)
+    letter_count = sum(
+        1 for c in element_text
+        if c != " " and not unicodedata.category(c).startswith("P")
+    )
+    minutes = letter_count // weight
+    return minutes if minutes > 0 else 1
