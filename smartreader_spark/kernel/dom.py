@@ -54,8 +54,23 @@ _SIBLING_CLOSERS = {
     "colgroup": frozenset(["colgroup"]),
 }
 
+# tag -> container elements that bound the sibling-closing scan (so an inner
+# <li> in a nested <ul> doesn't pop out to the outer <li>)
+_SIBLING_STOP = {
+    "li": frozenset(["ul", "ol", "menu"]),
+    "dt": frozenset(["dl"]),
+    "dd": frozenset(["dl"]),
+    "option": frozenset(["select", "datalist", "optgroup"]),
+    "optgroup": frozenset(["select"]),
+}
+
 # Elements whose subtree content must not escape them when auto-closing.
 _SCOPE_BOUNDARY = frozenset(["body", "html", "table", "td", "th", "caption"])
+
+# Tags routed through HTML5-style table-context repair.
+_TABLE_CTX_TAGS = frozenset(
+    ["tr", "td", "th", "thead", "tbody", "tfoot", "caption", "colgroup", "col"]
+)
 
 _HEAD_OK = frozenset(["meta", "title", "link", "style", "script", "base", "noscript", "template"])
 
@@ -527,13 +542,60 @@ class _TreeBuilder(HTMLParser):
                     break
         closers = _SIBLING_CLOSERS.get(tag)
         if closers:
+            stops = _SIBLING_STOP.get(tag, frozenset())
             for i in range(len(self.stack) - 1, 0, -1):
                 t = self.stack[i].tag
                 if t in closers:
                     del self.stack[i:]
                     break
+                if t in stops:
+                    break
                 if t in _SCOPE_BOUNDARY and not (tag in ("td", "th", "tr") and t == "table"):
                     break
+
+    def _table_fixup(self, tag: str) -> bool:
+        """HTML5-style table context repair for tr/td/th/section starts.
+
+        Returns True when a table context was found and the stack adjusted
+        (possibly synthesizing tbody/tr); False when no table is open (the
+        stray tag is left to generic handling, which keeps td/tr-outside-
+        table parseable — needed to re-read our own DIV-ified output)."""
+        ti = None
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == "table":
+                ti = i
+                break
+        if ti is None:
+            return False
+        if tag in ("thead", "tbody", "tfoot", "caption", "colgroup", "col"):
+            del self.stack[ti + 1:]
+            return True
+        if tag == "tr":
+            for i in range(len(self.stack) - 1, ti, -1):
+                if self.stack[i].tag in ("thead", "tbody", "tfoot"):
+                    del self.stack[i + 1:]
+                    return True
+            del self.stack[ti + 1:]
+            tbody = self._open("tbody", [])
+            self.stack.append(tbody)
+            return True
+        if tag in ("td", "th"):
+            for i in range(len(self.stack) - 1, ti, -1):
+                if self.stack[i].tag == "tr":
+                    del self.stack[i + 1:]
+                    return True
+            for i in range(len(self.stack) - 1, ti, -1):
+                if self.stack[i].tag in ("thead", "tbody", "tfoot"):
+                    del self.stack[i + 1:]
+                    break
+            else:
+                del self.stack[ti + 1:]
+                tbody = self._open("tbody", [])
+                self.stack.append(tbody)
+            tr = self._open("tr", [])
+            self.stack.append(tr)
+            return True
+        return False
 
     # ---- HTMLParser callbacks ----
     def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
@@ -566,7 +628,11 @@ class _TreeBuilder(HTMLParser):
                 self._in_body = True
                 self.stack = [self._html, self._body]
         self._flush_text()
-        self._implied_closes(tag)
+        if tag in _TABLE_CTX_TAGS:
+            if not self._table_fixup(tag):
+                self._implied_closes(tag)
+        else:
+            self._implied_closes(tag)
         el = self._open(tag, attrs)
         if tag not in VOID_ELEMENTS:
             self.stack.append(el)
@@ -580,7 +646,11 @@ class _TreeBuilder(HTMLParser):
             self._in_body = True
             self.stack = [self._html, self._body]
         self._flush_text()
-        self._implied_closes(tag)
+        if tag in _TABLE_CTX_TAGS:
+            if not self._table_fixup(tag):
+                self._implied_closes(tag)
+        else:
+            self._implied_closes(tag)
         self._open(tag, attrs)
 
     def handle_endtag(self, tag: str) -> None:
@@ -595,13 +665,23 @@ class _TreeBuilder(HTMLParser):
             return
         if tag in VOID_ELEMENTS:
             return
-        # find matching open element
+        # find matching open element; boundaries depend on the tag so that
+        # </table> closes through open cells while generic end tags cannot
+        # escape the enclosing cell/table
+        if tag == "table":
+            boundaries = ("body", "html")
+        elif tag in _TABLE_CTX_TAGS:
+            boundaries = ("body", "html", "table")
+        elif tag in _SIBLING_STOP:
+            boundaries = _SCOPE_BOUNDARY | _SIBLING_STOP[tag]
+        else:
+            boundaries = _SCOPE_BOUNDARY
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i].tag == tag:
                 del self.stack[i:]
                 return
             # don't let an end tag escape a scope boundary unless it names it
-            if self.stack[i].tag in _SCOPE_BOUNDARY:
+            if self.stack[i].tag in boundaries:
                 return
         # no match: ignore stray end tag
 

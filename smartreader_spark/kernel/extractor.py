@@ -385,10 +385,15 @@ class Extractor:
                     while child_node is not None:
                         next_sibling = child_node.next_sibling
                         if is_phrasing_content(child_node):
+                            # collect the run into a detached fragment, like
+                            # the reference's CreateDocumentFragment
+                            # (SmartReader.cs:1152-1182): trimmed whitespace
+                            # nodes leave the tree entirely
                             run: list[Node] = []
                             cn: Node | None = child_node
                             while cn is not None and is_phrasing_content(cn):
                                 next_sibling = cn.next_sibling
+                                cn.detach()
                                 run.append(cn)
                                 cn = next_sibling
                             while run and is_whitespace(run[0]):

@@ -224,12 +224,33 @@ _ISO_RE = re.compile(
 )
 
 
+# C# DateTime.TryParse converts offset-carrying strings to the host's local
+# time; the reference's golden fixtures were recorded on a CET/CEST host, so
+# we pin that zone for deterministic parity (verified against all fixture
+# publicationDate values).
+_FIXTURE_TZ = None
+
+
+def _fixture_tz():
+    global _FIXTURE_TZ
+    if _FIXTURE_TZ is None:
+        from zoneinfo import ZoneInfo
+
+        _FIXTURE_TZ = ZoneInfo("Europe/Rome")
+    return _FIXTURE_TZ
+
+
+def _localize(dt: datetime) -> datetime:
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(_fixture_tz()).replace(tzinfo=None)
+    return dt
+
+
 def try_parse_datetime(s: str | None) -> datetime | None:
     """Approximation of C# DateTime.TryParse (en-US-ish): ISO-8601 first,
-    then dateutil's permissive parser. Offsets are dropped after conversion
-    to the *stated* wall time (tests compare date components, and the
-    reference's behavior is host-timezone-dependent — we pin to the source's
-    own offset-naive reading for determinism)."""
+    then dateutil's permissive parser. Offset-carrying values are converted
+    to the pinned fixture timezone and made naive (matching the reference's
+    host-local conversion)."""
     if not s:
         return None
     s = s.strip()
@@ -238,18 +259,31 @@ def try_parse_datetime(s: str | None) -> datetime | None:
     m = _ISO_RE.match(s)
     if m:
         try:
+            from datetime import timedelta, timezone
+
             y, mo, d = int(m.group(1)), int(m.group(2)), int(m.group(3))
             hh = int(m.group(4) or 0)
             mm = int(m.group(5) or 0)
             ss = float(m.group(6) or 0)
-            return datetime(y, mo, d, hh, mm, int(ss))
+            off = m.group(7)
+            dt = datetime(y, mo, d, hh, mm, int(ss))
+            if off:
+                if off == "Z":
+                    tz = timezone.utc
+                else:
+                    sign = 1 if off[0] == "+" else -1
+                    oh = int(off[1:3])
+                    om = int(off[-2:])
+                    tz = timezone(sign * timedelta(hours=oh, minutes=om))
+                dt = dt.replace(tzinfo=tz)
+            return _localize(dt)
         except ValueError:
             return None
     try:
         from dateutil import parser as du_parser
 
         dt = du_parser.parse(s, fuzzy=False)
-        return dt.replace(tzinfo=None)
+        return _localize(dt)
     except Exception:
         return None
 

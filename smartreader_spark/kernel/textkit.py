@@ -122,6 +122,8 @@ def time_to_read_minutes(element_text: str, plaintext: str, language: str | None
     if not plaintext:
         return 0
     weight = chars_per_minute(language)
+    # TimeToReadCalculator.cs:42 — counts chars != ' ' and not punctuation
+    # (newlines/tabs/nbsp DO count as letters in the reference)
     letter_count = sum(
         1 for c in element_text
         if c != " " and not unicodedata.category(c).startswith("P")
