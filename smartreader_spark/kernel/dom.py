@@ -716,6 +716,9 @@ def parse_html(html: str) -> Document:
     normal markup, then the kernel treats noscript specially).
     """
     tb = _TreeBuilder()
+    # a leading U+FEFF is a byte-order mark, ignored by HTML5 parsers
+    if html.startswith("﻿"):
+        html = html.lstrip("﻿")
     try:
         tb.feed(html)
         tb.close()
