@@ -79,10 +79,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from smartreader_spark.functions.dedup import (
+        embedding_near_dup_pairs,
         exact_dedup_groups,
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
         simhash_signatures,
+    )
+    from smartreader_spark.functions.multimodal import (
+        image_features,
+        media_table_from_spans,
+        sample_video_frames,
     )
     from smartreader_spark.functions.similarity import (
         brute_force_topk,
@@ -239,12 +245,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
 
+    def media_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Interleaved media spans exploded to a typed media table
+        (DataFrame tier, rows-only: corpus not oracle-registered)."""
+        return (
+            media_table_from_spans(_fixture_corpus(spark))
+            .select("doc_id", "media_ref", "kind")
+            .orderBy("doc_id", "media_ref")
+        )
+
+    def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Arrow-batched image decode/feature plumbing (deterministic fake
+        codec; real schema/batching — see functions/multimodal.py)."""
+        media = media_table_from_spans(_fixture_corpus(spark))
+        return (
+            image_features(media, decoder="fake", num_partitions=8)
+            .select("doc_id", "media_ref", "width", "height", "sha256")
+            .orderBy("doc_id", "media_ref")
+        )
+
+    def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+        media = media_table_from_spans(_fixture_corpus(spark))
+        return sample_video_frames(media.limit(200), decoder="fake").orderBy(
+            "doc_id", "media_ref", "frame_idx"
+        )
+
     return {
         # extraction kernel tier (not SQL-expressible → rows-only)
         "extract_corpus": extract_corpus,
         "extract_testdata": extract_testdata,
         "extract_metrics_rollup": extract_metrics_rollup,
         "span_reassembly": span_reassembly,
+        "media_spans": media_spans,
+        "multimodal_image_features": multimodal_image_features,
+        "multimodal_frame_samples": multimodal_frame_samples,
         # relational shell (oracled)
         "agg_pushdown": agg_pushdown,
         "broadcast_join_topn": broadcast_join_topn,
@@ -252,6 +286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_resume": anti_join_resume,
         # training-data pipeline ops (oracled)
         "dedup_exact": exact_dedup_groups,
+        "dedup_embedding_cosine": embedding_near_dup_pairs,
         "dedup_minhash_lsh": minhash_lsh_pairs,
         "dedup_ngram_jaccard": ngram_jaccard_pairs,
         "dedup_simhash": simhash_signatures,
@@ -396,6 +431,21 @@ def oracle_sql() -> dict[str, str]:
                        AS simhash
             FROM bits
             ORDER BY doc_id
+        """,
+        "dedup_embedding_cosine": """
+            WITH emb AS (
+              SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+            )
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_dot_product(a.embedding, b.embedding)
+                         / (sqrt(list_dot_product(a.embedding, a.embedding))
+                            * sqrt(list_dot_product(b.embedding, b.embedding))), 6)
+                       AS cosine
+            FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.embedding, b.embedding)
+                  / (sqrt(list_dot_product(a.embedding, a.embedding))
+                     * sqrt(list_dot_product(b.embedding, b.embedding))), 6) >= 0.4
+            ORDER BY vec_a, vec_b
         """,
         "ann_brute_force": """
             WITH emb AS (

@@ -70,6 +70,32 @@ def _shingle_table(docs: DataFrame) -> DataFrame:
     return sh.select("doc_id", "shingle").distinct()
 
 
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str,
+                             threshold: float = 0.4) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over the embeddings table.
+
+    Sandbox-scale: exact all-pairs via self-join (the corpus fits). Scale
+    path: bucket by sign-random-projection first (similarity.lsh_bucketed
+    _topk) so the self-join becomes an equi-join on the bucket id, then
+    verify candidates with the exact cosine below — same verify expression,
+    different candidate generator."""
+    from .similarity import cosine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(cosine(F.col("ea"), F.col("eb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate groups: md5(normalized text) → group size + keeper.
     Shuffle key = 32-char digest; map-side combine makes this one cheap

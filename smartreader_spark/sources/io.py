@@ -1,0 +1,54 @@
+"""Sources / sinks.
+
+Production target (BASELINE.json input_hint): an Iceberg table of
+(doc_id, spans). Iceberg gives the engine partition/predicate pushdown
+for free through Catalyst plus ACID appends for the resume ledger
+(SURVEY.md §2.12). The Iceberg runtime jar is not present in this
+sandbox, so every entry point takes either a table identifier (routed to
+``format("iceberg")``) or a path (parquet) — the plan shape downstream is
+identical, which is the part that matters for the engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.spark.source.SparkTable"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_documents(spark: SparkSession, source: str,
+                   columns: tuple = ("doc_id", "spans")) -> DataFrame:
+    """Scan the interleaved-span document table with immediate column
+    pruning (the projection reaches the scan: check ReadSchema in
+    .explain). `source` = iceberg table name (contains no '/') or a
+    parquet path."""
+    if "/" not in source and _iceberg_available(spark):
+        df = spark.read.format("iceberg").load(source)
+    else:
+        df = spark.read.parquet(source)
+    return df.select(*columns)
+
+
+def write_articles(df: DataFrame, target: str, mode: str = "append") -> None:
+    """Append extraction output. On Iceberg: snapshot-isolated append
+    (safe concurrent with readers); on parquet: directory append."""
+    if "/" not in target:
+        df.writeTo(target).append()
+    else:
+        df.write.mode(mode).parquet(target)
+
+
+def write_ledgered(df: DataFrame, target: str) -> None:
+    """Idempotent-by-doc_id write used by the resume loop. On Iceberg this
+    would be MERGE INTO (upsert by doc_id); the parquet emulation relies
+    on the caller anti-joining against the ledger first
+    (pipeline.checkpoint.remaining_input)."""
+    write_articles(df, target, mode="append")

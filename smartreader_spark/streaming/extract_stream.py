@@ -1,0 +1,66 @@
+"""Streaming extraction: readStream over a span-table directory →
+mapInPandas kernel → writeStream sink.
+
+The reference has no streaming surface (SURVEY.md §2.12: "reference has
+none") and the north_rule is batch, but the engine's operators compose
+directly with Structured Streaming because the extraction stage is a
+stateless per-row map: the SAME `extract_articles` plan fragment runs
+under a streaming scan. No watermark is needed for extraction itself
+(stateless); the metrics rollup example shows the stateful pattern with a
+processing-time window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipeline.extract import INPUT_SCHEMA, extract_articles
+
+
+def stream_extract(spark: SparkSession, source_dir: str,
+                   options: dict | None = None,
+                   max_files_per_trigger: int = 8) -> DataFrame:
+    """Streaming DataFrame of extracted articles from a parquet directory
+    source (files-arrival stream; swap for Kafka by changing the reader).
+    The extraction operator is reused verbatim — stateless maps are
+    streaming-safe."""
+    stream = (
+        spark.readStream.schema(INPUT_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+    # no repartition inside a streaming plan (round-robin on a stream
+    # needs no skew salt: micro-batches bound the per-trigger volume)
+    return extract_articles(stream, options=options)
+
+
+def extraction_query(spark: SparkSession, source_dir: str, sink_dir: str,
+                     checkpoint_dir: str, options: dict | None = None):
+    """Start the end-to-end streaming job: extracted articles appended to
+    a parquet sink with exactly-once file-sink semantics (checkpointed
+    offsets + file manifest)."""
+    out = stream_extract(spark, source_dir, options=options)
+    return (
+        out.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
+def streaming_metrics_rollup(articles_stream: DataFrame,
+                             window: str = "1 minute"):
+    """Stateful example: windowed extraction metrics with a processing-time
+    window (event time would come from an ingest timestamp column)."""
+    with_ts = articles_stream.withColumn("_ts", F.current_timestamp())
+    return (
+        with_ts.withWatermark("_ts", "2 minutes")
+        .groupBy(F.window("_ts", window))
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.when(F.col("is_readable"), 1).otherwise(0)).alias("readable"),
+            F.sum("metrics.chars_retained").alias("chars_retained"),
+        )
+    )

@@ -1,0 +1,200 @@
+"""Tests for corpus-level functions: dedup, similarity, textqa, multimodal,
+streaming. Shares the module-scope local session with the pipeline tests."""
+
+import os
+import shutil
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("smartreader-fn-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+def test_exact_dedup_finds_injected_dups(spark):
+    from smartreader_spark.functions.dedup import exact_dedup_groups
+
+    # the synthetic corpus has no exact dups; inject some via a temp table
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    dup = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 100000)
+    tmp = tempfile.mkdtemp(prefix="dedup_")
+    try:
+        docs.unionByName(dup).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        groups = exact_dedup_groups(spark, tmp).collect()
+        assert len(groups) == 3
+        assert all(g.n_docs == 2 for g in groups)
+        # keeper is the min doc_id (the original)
+        assert all(g.keeper_doc_id < 100000 for g in groups)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_minhash_catches_near_duplicates(spark):
+    from smartreader_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # near-dup: copy a doc and perturb ONE trailing word
+    base = docs.filter(F.col("n_chars") > 300).limit(2)
+    near = base.withColumn("doc_id", F.col("doc_id") + 100000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" perturbed"))
+    )
+    tmp = tempfile.mkdtemp(prefix="minhash_")
+    try:
+        docs.unionByName(near).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        pairs = minhash_lsh_pairs(spark, tmp)
+        hits = pairs.filter(F.col("doc_b") >= 100000).collect()
+        ids = {(r.doc_a, r.doc_b) for r in hits}
+        for r in base.select("doc_id").collect():
+            assert (r.doc_id, r.doc_id + 100000) in ids
+        jac = ngram_jaccard_pairs(spark, tmp, threshold=0.8)
+        jhits = {(r.doc_a, r.doc_b): r.jaccard for r in jac.collect()}
+        for r in base.select("doc_id").collect():
+            assert jhits.get((r.doc_id, r.doc_id + 100000), 0) > 0.9
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_simhash_stable_and_bounded(spark):
+    from smartreader_spark.functions.dedup import simhash_signatures
+
+    sims = simhash_signatures(spark, SF).collect()
+    assert len(sims) == 500
+    assert all(0 <= r.simhash < 2 ** 16 for r in sims)
+
+
+def test_ann_brute_force_topk(spark):
+    from smartreader_spark.functions.similarity import brute_force_topk
+
+    top = brute_force_topk(spark, SF, k=3, n_queries=4).collect()
+    assert len(top) == 12
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        scores = [r.score for r in sorted(rows, key=lambda r: r.rank)]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r.vec_id != q for r in rows)
+
+
+def test_ann_lsh_subset_of_bruteforce_universe(spark):
+    from smartreader_spark.functions.similarity import lsh_bucketed_topk
+
+    approx = lsh_bucketed_topk(spark, SF, k=3, n_queries=4, n_planes=2).collect()
+    # every neighbor must share the query's bucket → a valid vec_id, not self
+    assert all(r.vec_id != r.query_id for r in approx)
+
+
+def test_textqa_shapes(spark):
+    from smartreader_spark.functions.textqa import (
+        doc_fingerprints,
+        language_guess,
+        quality_scores,
+        token_counts,
+    )
+
+    assert token_counts(spark, SF).count() == 500
+    q = quality_scores(spark, SF).limit(5).collect()
+    assert all(0 <= r.punct_ratio <= 1 and 0 <= r.stopword_ratio <= 1 for r in q)
+    lg = language_guess(spark, SF).limit(20).collect()
+    assert all(r.lang_guess in ("en", "es", "de", "fr", "und") for r in lg)
+    fp = doc_fingerprints(spark, SF).limit(5).collect()
+    assert all(len(r.fp_full) == 32 for r in fp)
+
+
+# ---- multimodal plumbing ---------------------------------------------------
+
+def test_media_table_and_image_features(spark):
+    from smartreader_spark.functions.multimodal import (
+        image_features,
+        media_table_from_spans,
+    )
+    from smartreader_spark.pipeline.corpus import load_corpus
+
+    media = media_table_from_spans(load_corpus(spark))
+    n_media = media.count()
+    assert n_media > 1000  # the fixture corpus is media-rich
+    feats = image_features(media.limit(50), decoder="fake").collect()
+    assert len(feats) == 50
+    assert all(r.error is None for r in feats)
+    assert all(len(r.feature) == 16 for r in feats)
+    # determinism: same ref → same digest
+    again = image_features(media.limit(50), decoder="fake").collect()
+    assert {(r.media_ref, r.sha256) for r in feats} == {(r.media_ref, r.sha256) for r in again}
+
+
+def test_multimodal_stub_decoder_reports_not_implemented(spark):
+    from smartreader_spark.functions.multimodal import (
+        image_features,
+        media_table_from_spans,
+    )
+    from smartreader_spark.pipeline.corpus import load_corpus
+
+    media = media_table_from_spans(load_corpus(spark)).limit(5)
+    rows = image_features(media, decoder="stub").collect()
+    assert all(r.error is not None and "NotImplemented" not in (r.sha256 or "") for r in rows)
+    assert all("decode" in r.error for r in rows)
+
+
+def test_frame_sampling_deterministic(spark):
+    from smartreader_spark.functions.multimodal import (
+        media_table_from_spans,
+        sample_video_frames,
+    )
+    from smartreader_spark.pipeline.corpus import load_corpus
+
+    media = media_table_from_spans(load_corpus(spark)).limit(20)
+    a = sample_video_frames(media, decoder="fake").collect()
+    b = sample_video_frames(media, decoder="fake").collect()
+    key = lambda r: (r.doc_id, r.media_ref, r.frame_idx, r.frame_sha256)
+    assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+# ---- streaming --------------------------------------------------------------
+
+def test_streaming_extraction_end_to_end(spark):
+    from smartreader_spark.pipeline.corpus import load_corpus
+    from smartreader_spark.streaming import extraction_query
+
+    tmp = tempfile.mkdtemp(prefix="stream_")
+    src, sink, ckpt = f"{tmp}/src", f"{tmp}/sink", f"{tmp}/ckpt"
+    try:
+        load_corpus(spark).limit(12).repartition(3).write.parquet(src)
+        q = extraction_query(spark, src, sink, ckpt)
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if not q.isActive or (q.lastProgress and q.lastProgress["numInputRows"] == 0
+                                  and q.recentProgress):
+                # all files consumed when a trigger reports 0 input rows
+                done = sum(p["numInputRows"] for p in q.recentProgress) >= 12
+                if done:
+                    break
+            time.sleep(2)
+        q.processAllAvailable()
+        q.stop()
+        out = spark.read.parquet(sink)
+        assert out.count() == 12
+        assert out.filter(F.col("error").isNotNull()).count() == 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
