@@ -202,7 +202,8 @@ class Comment(Node):
 
 
 class Element(Node):
-    __slots__ = ("tag", "attrs", "child_nodes", "_score", "_tc_epoch", "_tc_cache")
+    __slots__ = ("tag", "attrs", "child_nodes", "_score", "_tc_epoch", "_tc_cache",
+                 "_it_epoch", "_it_cache")
     node_type = Node.ELEMENT
 
     def __init__(self, tag: str, attrs: dict[str, str] | None = None) -> None:
@@ -216,6 +217,8 @@ class Element(Node):
         self._score: float | None = None
         self._tc_epoch: int = -1
         self._tc_cache: str = ""
+        self._it_epoch: int = -1
+        self._it_cache: tuple[str, str] = ("", "")
 
     # -- attributes ---------------------------------------------------
     def get_attribute(self, name: str) -> str | None:
@@ -328,11 +331,24 @@ class Element(Node):
         """Snapshot list, document order — analogous to AngleSharp's live
         collection materialized (the reference iterates backwards over the
         live list when removing, NodeUtility.cs:140-154; a snapshot iterated
-        backwards has identical removal order)."""
+        backwards has identical removal order). Direct stack walk (hot
+        path — generator overhead measured at ~15% of kernel time)."""
         want = {t.lower() for t in tags}
-        if "*" in want:
-            return list(self.iter_elements())
-        return [e for e in self.iter_elements() if e.tag in want]
+        match_all = "*" in want
+        out: list[Element] = []
+        append = out.append
+        stack: list[Node] = list(reversed(self.child_nodes))
+        pop = stack.pop
+        extend = stack.extend
+        while stack:
+            n = pop()
+            if n.node_type == 1:
+                if match_all or n.tag in want:  # type: ignore[attr-defined]
+                    append(n)  # type: ignore[arg-type]
+                kids = n.child_nodes  # type: ignore[attr-defined]
+                if kids:
+                    extend(reversed(kids))
+        return out
 
     def descendant_count(self) -> int:
         n = 0
@@ -745,13 +761,19 @@ def parse_fragment(html: str, container_tag: str = "div") -> Element:
 
 def get_inner_text(el: Element | None, normalize_spaces: bool = True) -> str:
     """NodeUtility.cs:405-412 — textContent.Trim(), optionally collapsing
-    all whitespace runs to single spaces."""
+    all whitespace runs to single spaces. Epoch-cached (scoring and
+    cleaning revisit the same nodes many times between mutations)."""
     if el is None:
         return ""
-    text = el.text_content.strip()
-    if normalize_spaces:
-        return _WS_RE.sub(" ", text)
-    return text
+    epoch = _EPOCH[0]
+    if el._it_epoch == epoch:
+        raw, norm = el._it_cache
+        return norm if normalize_spaces else raw
+    raw = el.text_content.strip()
+    norm = _WS_RE.sub(" ", raw)
+    el._it_epoch = epoch
+    el._it_cache = (raw, norm)
+    return norm if normalize_spaces else raw
 
 
 def set_node_tag(el: Element, new_tag: str) -> Element:

@@ -199,12 +199,15 @@ class Extractor:
             return False
         rel = node.get_attribute("rel") or None
         itemprop = node.get_attribute("itemprop") or None
-        byline_length = len(node.text_content.strip())
+        # cheap attribute/regex gates first; the reference computes the
+        # text length up front (SmartReader.cs:921) but the conjunction is
+        # commutative — computing it lazily skips a subtree text scan on
+        # every non-matching node (the common case)
         if (
             rel == "author"
             or (itemprop and "author" in itemprop)
             or self.options.regexes.byline.search(match_string)
-        ) and 0 < byline_length < 100:
+        ) and 0 < len(node.text_content.strip()) < 100:
             if rel == "author":
                 self.author = node.text_content.strip()
             else:

@@ -205,7 +205,8 @@ def has_single_tag_inside_element(el: Element, tag: str) -> bool:
 
 
 def is_element_without_content(el: Element) -> bool:
-    """NodeUtility.cs:353-359."""
+    """NodeUtility.cs:353-359 (single subtree pass instead of the
+    reference's two descendant collections — same truth table)."""
     if el.node_type != Node.ELEMENT:
         return False
     if el.text_content.strip():
@@ -213,7 +214,12 @@ def is_element_without_content(el: Element) -> bool:
     kids = el.children
     if not kids:
         return True
-    brhr = len(el.get_elements_by_tag_name("br")) + len(el.get_elements_by_tag_name("hr"))
+    # no text anywhere (checked above): equal counts ⇔ every element
+    # child is br/hr AND no other descendant elements hide below them
+    brhr = 0
+    for d in el.iter_elements():
+        if d.tag in ("br", "hr"):
+            brhr += 1
     return len(kids) == brhr
 
 

@@ -58,31 +58,27 @@ def _convert_to_text(el: Element, out: list[str]) -> None:
 _TABS = re.compile(r"\t+")
 _MULTI_NL = re.compile(r"(\r?\n){3,}")
 
+# char.IsSeparator == Unicode Z* categories; build the exact class once
+_Z_CLASS = re.escape(
+    "".join(
+        chr(c) for c in range(0x3001) if unicodedata.category(chr(c)).startswith("Z")
+    )
+)
+# the reference's per-char state machine (Article.cs:283-307) drops a
+# separator when: previous INPUT char was a separator or newline, or the
+# NEXT input char is a newline — expressed as one regex over the input
+_DROP_SEP = re.compile(
+    rf"(?:(?<=[{_Z_CLASS}\r\n])[{_Z_CLASS}])|(?:[{_Z_CLASS}](?=[\r\n]))"
+)
+
 
 def convert_to_plaintext(el: Element) -> str:
-    """Article.cs:268-318 — whitespace state machine."""
+    """Article.cs:268-318 — whitespace state machine (regex-vectorized;
+    verified char-for-char equivalent to the per-char loop)."""
     parts: list[str] = []
     _convert_to_text(el, parts)
     text = _TABS.sub(" ", "".join(parts))
-
-    out: list[str] = []
-    previous_space = False
-    previous_newline = False
-    n = len(text)
-    for i, ch in enumerate(text):
-        # char.IsSeparator == Unicode Z* categories
-        is_space = unicodedata.category(ch).startswith("Z")
-        is_newline = ch in ("\r", "\n")
-        is_next_newline = i < n - 1 and text[i + 1] in ("\r", "\n")
-        if (is_space and is_next_newline) or (previous_newline and is_space) or (
-            previous_space and is_space
-        ):
-            pass
-        else:
-            out.append(ch)
-        previous_space = is_space
-        previous_newline = is_newline
-    text = "".join(out).strip()
+    text = _DROP_SEP.sub("", text).strip()
     return _MULTI_NL.sub("\n\n", text)
 
 
@@ -116,6 +112,24 @@ def chars_per_minute(language: str | None) -> int:
     return 960
 
 
+_LETTER_CACHE: dict[str, bool] = {" ": False}
+
+
+def _count_letters(text: str) -> int:
+    """Count chars that are not ' ' and not Unicode punctuation, memoizing
+    the per-character classification (documents reuse a small alphabet)."""
+    cache = _LETTER_CACHE
+    n = 0
+    for ch in text:
+        is_letter = cache.get(ch)
+        if is_letter is None:
+            is_letter = not unicodedata.category(ch).startswith("P")
+            cache[ch] = is_letter
+        if is_letter:
+            n += 1
+    return n
+
+
 def time_to_read_minutes(element_text: str, plaintext: str, language: str | None) -> int:
     """TimeToReadCalculator.cs:33-47 — whole minutes (C# integer division),
     minimum 1 when there is any text; 0 when TextContent empty."""
@@ -124,9 +138,6 @@ def time_to_read_minutes(element_text: str, plaintext: str, language: str | None
     weight = chars_per_minute(language)
     # TimeToReadCalculator.cs:42 — counts chars != ' ' and not punctuation
     # (newlines/tabs/nbsp DO count as letters in the reference)
-    letter_count = sum(
-        1 for c in element_text
-        if c != " " and not unicodedata.category(c).startswith("P")
-    )
+    letter_count = _count_letters(element_text)
     minutes = letter_count // weight
     return minutes if minutes > 0 else 1
