@@ -92,6 +92,12 @@ class Options:
     link_density_modifier: float = 0.0
     pre_clean_page: bool = False
     regexes: object = field(default_factory=lambda: DEFAULT_REGEXES)
+    # extensibility surface (SmartReader.cs:373-435): callables taking the
+    # document element / article element. Kernel-level API; when running
+    # under Spark pass them via a custom agentless closure, not the
+    # serialized options dict.
+    custom_operations_start: tuple = ()
+    custom_operations_end: tuple = ()
 
 
 @dataclass
@@ -1119,6 +1125,9 @@ class Extractor:
             return ExtractionResult(content=None, title=self.article_title,
                                     is_readable=False)
 
+        for op in opts.custom_operations_start:
+            op(self.doc.document_element)
+
         unwrap_noscript_images(self.doc, self.metrics)
         jsonld = {} if opts.disable_jsonld else get_jsonld(self.doc)
         self.metrics["nodes_stripped"] += remove_scripts(self.doc.document_element)
@@ -1133,6 +1142,9 @@ class Extractor:
                                     is_readable=False)
 
         self.post_process_content(article_content)
+
+        for op in opts.custom_operations_end:
+            op(article_content)
 
         excerpt = metadata["excerpt"]
         if not excerpt:

@@ -131,8 +131,18 @@ def _make_extract_batch(options_kwargs: dict | None, base_uri: str):
         # imports inside the worker: one-time per executor interpreter
         from smartreader_spark.kernel.extractor import Options
         from smartreader_spark.kernel.reader import extract_html
+        from smartreader_spark.kernel.regexes import build_regexes
 
-        options = Options(**options_kwargs) if options_kwargs else None
+        options = None
+        if options_kwargs:
+            kw = dict(options_kwargs)
+            # regex table customization ships as plain pattern strings
+            # (SmartReader.cs:2440-2508 Add/ReplaceRegularExpression)
+            overrides = kw.pop("regex_overrides", None)
+            additions = kw.pop("regex_additions", None)
+            if overrides or additions:
+                kw["regexes"] = build_regexes(overrides=overrides, additions=additions)
+            options = Options(**kw)
 
         for pdf in batches:
             recs = []

@@ -1,0 +1,121 @@
+"""Physical-plan hygiene tests: the scale properties the engine promises
+must be visible in .explain output — column pruning at the scan, broadcast
+for small dims, no Python evaluation in built-in-only plans, codegen
+coverage."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("smartreader-plan-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_extraction_scan_prunes_to_needed_columns(spark):
+    """The extraction plan must read only (doc_id, spans) even when the
+    source table carries extra columns."""
+    from pyspark.sql import functions as F
+
+    from smartreader_spark.pipeline.corpus import load_corpus
+    from smartreader_spark.pipeline.extract import extract_articles
+
+    wide = load_corpus(spark).withColumn("junk", F.lit("x")).withColumn(
+        "more_junk", F.lit(1)
+    )
+    out = extract_articles(wide, num_partitions=2)
+    f = formatted(out)
+    scan = [seg for seg in f.split("\n\n") if "Scan" in seg and "ReadSchema" in seg]
+    # in-memory relation has no ReadSchema; assert on the projected output
+    plan = plan_of(out)
+    assert "junk" not in plan.split("MapInPandas")[0].split("Project")[-1] or True
+    # stronger check on a parquet-backed scan:
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        wide.write.parquet(f"{tmp}/t")
+        out2 = extract_articles(spark.read.parquet(f"{tmp}/t"), num_partitions=2)
+        f2 = formatted(out2)
+        read_schema = [l for l in f2.splitlines() if "ReadSchema" in l]
+        assert read_schema, f2
+        assert "junk" not in read_schema[0], read_schema[0]
+        assert "doc_id" in read_schema[0] and "spans" in read_schema[0]
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").filter(
+        F.col("l_shipdate") <= "1995-01-01"
+    ).select("l_quantity")
+    f = formatted(li)
+    pushed = [l for l in f.splitlines() if "PushedFilters" in l]
+    assert pushed and "l_shipdate" in pushed[0], f
+
+
+def test_broadcast_join_chosen_for_dims(spark):
+    import __spark_entry__ as e
+
+    q = e.queries()["broadcast_join_topn"](spark, SF)
+    plan = plan_of(q)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_no_python_eval_in_analytical_plans(spark):
+    """Dedup/QA/similarity ops must be pure JVM plans (no BatchEvalPython
+    / ArrowEvalPython / MapInPandas nodes)."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    for name in ("dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+                 "token_counts", "quality_scores", "language_guess",
+                 "doc_fingerprints", "ann_brute_force"):
+        plan = plan_of(qs[name](spark, SF))
+        assert "Python" not in plan and "MapInPandas" not in plan, name
+
+
+def test_extraction_plan_is_arrow_vectorized(spark):
+    """The extraction stage itself must be the Arrow-batched MapInPandas
+    operator (the north_star's vectorized UDF), not a row-wise UDF."""
+    from smartreader_spark.pipeline.corpus import load_corpus
+    from smartreader_spark.pipeline.extract import extract_articles
+
+    out = extract_articles(load_corpus(spark), num_partitions=2)
+    plan = plan_of(out)
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan  # row-at-a-time python — forbidden
+
+
+def test_whole_stage_codegen_covers_analytics(spark):
+    import __spark_entry__ as e
+
+    df = e.queries()["agg_pushdown"](spark, SF)
+    df.collect()  # let AQE finalize the plan
+    plan = plan_of(df)
+    # '*(n)' marks WholeStageCodegen stages in the executed-plan string
+    assert "*(" in plan, plan[:500]
+    # and the aggregation is map-side partial before the shuffle
+    assert "partial_sum" in plan
