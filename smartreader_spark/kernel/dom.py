@@ -72,6 +72,12 @@ _TABLE_CTX_TAGS = frozenset(
     ["tr", "td", "th", "thead", "tbody", "tfoot", "caption", "colgroup", "col"]
 )
 
+# insertion-mode contexts where stray content is foster-parented
+_TABLE_CONTEXTS = frozenset(["table", "tbody", "thead", "tfoot", "tr"])
+_ALLOWED_IN_TABLE = _TABLE_CTX_TAGS | frozenset(
+    ["script", "style", "template", "form", "input", "table"]
+)
+
 _HEAD_OK = frozenset(["meta", "title", "link", "style", "script", "base", "noscript", "template"])
 
 _WS_RE = re.compile(r"\s+")
@@ -516,6 +522,12 @@ class _TreeBuilder(HTMLParser):
             # stray text before body -> open body
             self._ensure_body()
             cur = self._cur()
+        if cur.tag in _TABLE_CONTEXTS and data.strip():
+            # non-whitespace character tokens in a table context are
+            # foster-parented before the table (HTML5 'in table text')
+            tn = TextNode(data)
+            if self._foster_parent(tn):
+                return
         kids = cur.child_nodes
         if kids and kids[-1].node_type == Node.TEXT:
             kids[-1].data += data  # type: ignore[attr-defined]
@@ -568,6 +580,23 @@ class _TreeBuilder(HTMLParser):
                     break
                 if t in _SCOPE_BOUNDARY and not (tag in ("td", "th", "tr") and t == "table"):
                     break
+
+    def _foster_parent(self, node: Node) -> bool:
+        """HTML5 foster parenting: content illegally placed directly in a
+        table context is inserted immediately BEFORE the nearest open
+        <table> (spec: 'appropriate place for inserting a node' with
+        foster parenting enabled)."""
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == "table":
+                tbl = self.stack[i]
+                parent = tbl.parent
+                if parent is not None:
+                    idx = parent.child_nodes.index(tbl)
+                    node.parent = parent
+                    parent.child_nodes.insert(idx, node)
+                    return True
+                return False
+        return False
 
     def _table_fixup(self, tag: str) -> bool:
         """HTML5-style table context repair for tr/td/th/section starts.
@@ -649,6 +678,19 @@ class _TreeBuilder(HTMLParser):
                 self._implied_closes(tag)
         else:
             self._implied_closes(tag)
+            # foster-parent non-table content that would land directly in
+            # a table context
+            if self._cur().tag in _TABLE_CONTEXTS and tag not in _ALLOWED_IN_TABLE:
+                amap: dict[str, str] = {}
+                for k, v in attrs:
+                    k = k.lower()
+                    if k and k not in amap:
+                        amap[k] = v if v is not None else ""
+                el = Element(tag, amap)
+                if self._foster_parent(el):
+                    if tag not in VOID_ELEMENTS:
+                        self.stack.append(el)
+                    return
         el = self._open(tag, attrs)
         if tag not in VOID_ELEMENTS:
             self.stack.append(el)
