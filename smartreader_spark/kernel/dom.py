@@ -721,7 +721,27 @@ class _TreeBuilder(HTMLParser):
         if tag == "head":
             self.stack = [self._html]
             return
+        if tag == "br":
+            # HTML5: </br> acts as a <br> START tag (pages using <br></br>
+            # genuinely contain two br elements — ReplaceBrs depends on it)
+            self.handle_starttag("br", [])
+            return
         if tag in VOID_ELEMENTS:
+            return
+        if tag == "p":
+            # HTML5: </p> with no open p inserts an empty <p></p>
+            for i in range(len(self.stack) - 1, 0, -1):
+                t = self.stack[i].tag
+                if t == "p":
+                    del self.stack[i:]
+                    return
+                if t in _SCOPE_BOUNDARY:
+                    break
+            self._flush_text()
+            if self._cur().tag in _TABLE_CONTEXTS:
+                self._foster_parent(Element("p"))
+            else:
+                self._open("p", [])
             return
         # find matching open element; boundaries depend on the tag so that
         # </table> closes through open cells while generic end tags cannot

@@ -208,7 +208,7 @@ def test_corpus_pass_rate_floor():
             meta["language"] += 1
     n = len(names)
     assert n == 142
-    assert span_ok >= 139, f"span-exact regressed: {span_ok}/{n}"
+    assert span_ok >= 140, f"span-exact regressed: {span_ok}/{n}"
     assert meta["title"] >= 142, meta
     assert meta["byline"] >= 142, meta
     assert meta["readerable"] >= 142, meta
