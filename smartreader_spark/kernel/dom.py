@@ -127,7 +127,11 @@ class Node:
         if p is not None:
             p.child_nodes.remove(self)
             self.parent = None
-            _EPOCH[0] += 1
+            # text caches only go stale if the removed subtree could have
+            # contributed text: a text node, or an element with children
+            # (childless elements like img/br/hr never carry text)
+            if self.node_type == 3 or (self.node_type == 1 and self.child_nodes):  # type: ignore[attr-defined]
+                _EPOCH[0] += 1
 
     def replace_with(self, other: "Node") -> None:
         p = self.parent

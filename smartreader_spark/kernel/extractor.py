@@ -305,12 +305,31 @@ class Extractor:
     # ------------------------------------------------------------------
     # grabArticle (SmartReader.cs:990-1589)
     # ------------------------------------------------------------------
+    def _rebuild_body(self) -> Element | None:
+        """Reconstruct the body exactly as it was at grab start by
+        re-parsing the raw HTML and re-running the (deterministic)
+        pre-grab passes. Replaces the reference's eager InnerHtml
+        snapshot (SmartReader.cs:1017-1020) — only ~10% of documents
+        ever retry, so serializing every document up front is wasted
+        work for the other 90%."""
+        doc = parse_html(self.raw_html)
+        for op in self.options.custom_operations_start:
+            op(doc.document_element)
+        unwrap_noscript_images(doc)
+        remove_scripts(doc.document_element)
+        saved = self.doc
+        self.doc = doc
+        try:
+            self.prep_document()
+        finally:
+            self.doc = saved
+        return doc.body
+
     def grab_article(self) -> Element | None:
         doc = self.doc
         page = doc.body
         if page is None:
             return None
-        page_cache_html = page.inner_html
         opts = self.options
         regexes = opts.regexes
 
@@ -617,16 +636,17 @@ class Extractor:
             text_length = len(get_inner_text(article_content, normalize_spaces=True))
             if text_length < opts.char_threshold:
                 parse_successful = False
-                # restore the cached body and retry with fewer flags
+                # restore the body (fresh rebuild) and retry with fewer flags
                 from .dom import _bump_epoch
 
                 for c in list(page.child_nodes):
                     c.parent = None
                 page.child_nodes = []
                 _bump_epoch()
-                restored = parse_fragment(page_cache_html, "body")
-                for c in list(restored.child_nodes):
-                    page.append_child(c)
+                restored = self._rebuild_body()
+                if restored is not None:
+                    for c in list(restored.child_nodes):
+                        page.append_child(c)
 
                 if self.flag_active(FLAG_STRIP_UNLIKELYS):
                     self.remove_flag(FLAG_STRIP_UNLIKELYS)
