@@ -41,6 +41,38 @@ def make_session(
     return spark
 
 
+def package_zip(out_path: str = "/tmp/smartreader_spark_pkg.zip") -> str:
+    """Zip the smartreader_spark package for --py-files shipment to
+    executors (multi-executor clusters don't share the driver's cwd).
+    Idempotent per content: rebuilt when any source file is newer."""
+    import os
+    import zipfile
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    newest = 0.0
+    files = []
+    for dirpath, _dirnames, filenames in os.walk(pkg_root):
+        if "__pycache__" in dirpath:
+            continue
+        for fn in filenames:
+            if fn.endswith(".py"):
+                p = os.path.join(dirpath, fn)
+                files.append(p)
+                newest = max(newest, os.path.getmtime(p))
+    if not os.path.exists(out_path) or os.path.getmtime(out_path) < newest:
+        parent = os.path.dirname(pkg_root)
+        with zipfile.ZipFile(out_path + ".tmp", "w", zipfile.ZIP_DEFLATED) as zf:
+            for p in files:
+                zf.write(p, os.path.relpath(p, parent))
+        os.replace(out_path + ".tmp", out_path)
+    return out_path
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make smartreader_spark importable on executors (addPyFile)."""
+    spark.sparkContext.addPyFile(package_zip())
+
+
 def warm_python_workers(spark: SparkSession, n_workers: int) -> None:
     """Pre-fork the Python worker pool while the cluster is otherwise idle.
     Creating workers lazily *during* the first real mapInPandas stage
