@@ -24,6 +24,8 @@ def extract_html(html: str, uri: str = DEFAULT_URI, options: Options | None = No
     title, byline, dir, language, excerpt, site_name, author: str|None
     published_at: datetime|None
     featured_image: str|None
+    alternative_language_uris: dict[str,str]  — hreflang → absolute uri
+                               (Article.cs:45; Readability.cs:684-703)
     reading_time_sec: int
     is_readable: bool
     metrics: {candidates_scored, nodes_stripped, chars_retained}
@@ -50,6 +52,7 @@ def extract_html(html: str, uri: str = DEFAULT_URI, options: Options | None = No
             "author": None,
             "published_at": None,
             "featured_image": None,
+            "alternative_language_uris": dict(result.alternative_language_uris or {}),
             "reading_time_sec": 0,
             "is_readable": bool(result.is_readable),
             "metrics": result.metrics or _zero_metrics(),
@@ -71,6 +74,7 @@ def extract_html(html: str, uri: str = DEFAULT_URI, options: Options | None = No
         "author": result.author,
         "published_at": result.publication_date,
         "featured_image": result.featured_image,
+        "alternative_language_uris": dict(result.alternative_language_uris or {}),
         "reading_time_sec": ttr_min * 60,
         "is_readable": bool(result.is_readable),
         "metrics": result.metrics,
@@ -102,6 +106,7 @@ def _error_result(error: str, title: str | None = None) -> dict:
         "author": None,
         "published_at": None,
         "featured_image": None,
+        "alternative_language_uris": {},
         "reading_time_sec": 0,
         "is_readable": False,
         "metrics": _zero_metrics(),

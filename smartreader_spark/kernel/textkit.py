@@ -112,21 +112,29 @@ def chars_per_minute(language: str | None) -> int:
     return 960
 
 
-_LETTER_CACHE: dict[str, bool] = {" ": False}
+_LETTER_CACHE: dict[str, int] = {" ": 0}
 
 
 def _count_letters(text: str) -> int:
-    """Count chars that are not ' ' and not Unicode punctuation, memoizing
-    the per-character classification (documents reuse a small alphabet)."""
+    """Count UTF-16 code units that are not ' ' and not Unicode punctuation,
+    memoizing the per-character weight (documents reuse a small alphabet).
+
+    The reference counts C# chars (TimeToReadCalculator.cs:42), i.e. UTF-16
+    code units: an astral character (e.g. an emoji) is a surrogate pair whose
+    halves are category Cs — neither ' ' nor punctuation — so it weighs 2.
+    (Verified: firefox-nightly-blog's expected timeToRead is only reproducible
+    with three U+1F31F weighing 2 each: 7893 + 3 = 7896 = 987·8.)"""
     cache = _LETTER_CACHE
     n = 0
     for ch in text:
-        is_letter = cache.get(ch)
-        if is_letter is None:
-            is_letter = not unicodedata.category(ch).startswith("P")
-            cache[ch] = is_letter
-        if is_letter:
-            n += 1
+        weight = cache.get(ch)
+        if weight is None:
+            if ord(ch) > 0xFFFF:
+                weight = 2
+            else:
+                weight = 0 if unicodedata.category(ch).startswith("P") else 1
+            cache[ch] = weight
+        n += weight
     return n
 
 

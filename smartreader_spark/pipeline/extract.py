@@ -55,6 +55,9 @@ EXTRACT_SCHEMA = T.StructType(
         T.StructField("author", T.StringType()),
         T.StructField("published_at", T.TimestampType()),
         T.StructField("featured_image", T.StringType()),
+        T.StructField(
+            "alternative_language_uris", T.MapType(T.StringType(), T.StringType())
+        ),
         T.StructField("reading_time_sec", T.IntegerType()),
         T.StructField("is_readable", T.BooleanType()),
         T.StructField("metrics", METRICS_TYPE),
@@ -164,6 +167,7 @@ def _make_extract_batch(options_kwargs: dict | None, base_uri: str):
                         r["author"],
                         r["published_at"],
                         r["featured_image"],
+                        r["alternative_language_uris"],
                         r["reading_time_sec"],
                         r["is_readable"],
                         (

@@ -66,6 +66,9 @@ def check_fixture(name: str) -> dict:
     field("ttr", res["reading_time_sec"] or None, ttr_to_sec(meta.get("timeToRead")))
     exp_date = try_parse_datetime(meta.get("publicationDate"))
     field("pub_date", res["published_at"], exp_date)
+    # PagesTests.cs:85 asserts AlternativeLanguageUris per fixture
+    field("alt_lang_uris", res["alternative_language_uris"] or None,
+          meta.get("alternativeLanguageUris") or None)
 
     want = expected_html_to_spans(exp_html)
     got = res["spans"]
@@ -100,7 +103,8 @@ def main() -> None:
     crashes = [r for r in results if r["crash"]]
     span_pass = [r for r in results if r.get("spans") is True]
     FIELDS = ["title", "byline", "dir", "language", "author", "excerpt",
-              "site_name", "featured_image", "readerable", "ttr", "pub_date"]
+              "site_name", "featured_image", "readerable", "ttr", "pub_date",
+              "alt_lang_uris"]
     print(f"fixtures: {len(results)}  wall: {wall:.1f}s  crashes: {len(crashes)}")
     print(f"SPANS exact: {len(span_pass)}/{len(results)}")
     for f in FIELDS:
