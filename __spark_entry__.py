@@ -123,12 +123,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("doc_id")
 
     def extract_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Lineage/metrics aggregation over extraction output (rows-only)."""
+        """Lineage/metrics aggregation over extraction output. The rollup
+        key is a deterministic md5 bucket of doc_id (not the physical
+        partition id) so the same rollup is restatable in SQL on any
+        engine/topology — the production path uses spark_partition_id."""
         from smartreader_spark.pipeline.checkpoint import lineage_metrics
         from smartreader_spark.pipeline.extract import extract_articles
 
         out = extract_articles(_fixture_corpus(spark), num_partitions=8)
-        return lineage_metrics(out).orderBy("partition_id")
+        bucket = (
+            F.conv(F.substring(F.md5("doc_id"), 1, 2), 16, 10).cast("int") % 8
+        )
+        return (
+            lineage_metrics(out, key=bucket)
+            .withColumnRenamed("partition_id", "bucket")
+            .orderBy("bucket")
+        )
 
     def span_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Span-tier ops: posexplode → re-sort → ordered concat identity
@@ -265,13 +275,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
-        media = media_table_from_spans(_fixture_corpus(spark))
-        return sample_video_frames(media.limit(200), decoder="fake").orderBy(
+        # deterministic ~25% subset (md5 prefix), NOT limit(): limit without
+        # order is placement-dependent and would break the value oracle
+        media = media_table_from_spans(_fixture_corpus(spark)).filter(
+            F.substring(F.md5("media_ref"), 1, 1) < "4"
+        )
+        return sample_video_frames(media, decoder="fake").orderBy(
             "doc_id", "media_ref", "frame_idx"
         )
 
     return {
-        # extraction kernel tier (not SQL-expressible → rows-only)
+        # extraction kernel tier — oracled against committed expected
+        # tables produced by tools/build_expected.py (the kernel itself is
+        # grounded by the 142-fixture golden harness)
         "extract_corpus": extract_corpus,
         "extract_testdata": extract_testdata,
         "extract_metrics_rollup": extract_metrics_rollup,
@@ -305,6 +321,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 _TOKS = f"string_split({_NORM}, ' ')"
+
+# absolute paths: the DuckDB side of the gate runs with no cwd guarantee
+_CORPUS_PQ = f"{_REPO}/fixtures/corpus.parquet/*.parquet"
+_EXPECTED_CORPUS_PQ = f"{_REPO}/fixtures/expected_extract_corpus.parquet"
+_EXPECTED_TESTDATA_PQ = f"{_REPO}/fixtures/expected_extract_testdata_sf001.parquet"
+
+# the interleaved-media projection of the fixture corpus (mirrors
+# functions.multimodal.media_table_from_spans)
+_MEDIA_CTE = f"""
+  media AS (
+    SELECT doc_id, s.media_ref AS media_ref, s.kind AS kind
+    FROM (SELECT doc_id, unnest(spans) AS s FROM read_parquet('{_CORPUS_PQ}'))
+    WHERE s.kind <> 'html' AND s.media_ref IS NOT NULL
+  )
+"""
+
+# SRP bucket id, p planes — the exact md5-derived hyperplane formula of
+# smartreader_spark.functions.similarity._srp_bucket
+def _srp_bucket_sql(vec: str, n_planes: int) -> str:
+    def plane(p: int) -> str:
+        w = (
+            f"list_transform(range(0, len({vec})), i -> "
+            f"('0x' || substr(md5('{p}|' || i::VARCHAR), 1, 4))::INT / 32768.0 - 1.0)"
+        )
+        return f"(CASE WHEN list_dot_product({vec}, {w}) > 0 THEN {1 << p} ELSE 0 END)"
+
+    return " + ".join(plane(p) for p in range(n_planes))
 
 _SHINGLES = (
     "list_distinct(list_transform("
@@ -432,20 +475,126 @@ def oracle_sql() -> dict[str, str]:
             FROM bits
             ORDER BY doc_id
         """,
-        "dedup_embedding_cosine": """
+        "dedup_embedding_cosine": f"""
             WITH emb AS (
-              SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+              SELECT vec_id, embedding::DOUBLE[] AS e,
+                     {_srp_bucket_sql('embedding::DOUBLE[]', 4)} AS bucket
+              FROM embeddings
             )
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   round(list_dot_product(a.embedding, b.embedding)
-                         / (sqrt(list_dot_product(a.embedding, a.embedding))
-                            * sqrt(list_dot_product(b.embedding, b.embedding))), 6)
-                       AS cosine
-            FROM emb a JOIN emb b ON a.vec_id < b.vec_id
-            WHERE round(list_dot_product(a.embedding, b.embedding)
-                  / (sqrt(list_dot_product(a.embedding, a.embedding))
-                     * sqrt(list_dot_product(b.embedding, b.embedding))), 6) >= 0.4
+                   round(list_dot_product(a.e, b.e)
+                         / (sqrt(list_dot_product(a.e, a.e))
+                            * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+            FROM emb a JOIN emb b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.e, b.e)
+                  / (sqrt(list_dot_product(a.e, a.e))
+                     * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.4
             ORDER BY vec_a, vec_b
+        """,
+        "ann_lsh_bucketed": f"""
+            WITH emb AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e,
+                     {_srp_bucket_sql('embedding::DOUBLE[]', 4)} AS bucket
+              FROM embeddings
+            ), q AS (
+              SELECT vec_id AS query_id, e AS qe, bucket AS qbucket
+              FROM emb WHERE vec_id < 8
+            ), scored AS (
+              SELECT q.query_id, emb.vec_id,
+                     round(list_dot_product(q.qe, emb.e)
+                           / (sqrt(list_dot_product(q.qe, q.qe))
+                              * sqrt(list_dot_product(emb.e, emb.e))), 6) AS score
+              FROM emb JOIN q
+                ON emb.bucket = q.qbucket AND emb.vec_id <> q.query_id
+            ), ranked AS (
+              SELECT query_id, vec_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, vec_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, score, rank
+            FROM ranked WHERE rank <= 5
+            ORDER BY query_id, rank
+        """,
+        "span_reassembly": f"""
+            WITH c AS (
+              SELECT doc_id, spans FROM read_parquet('{_CORPUS_PQ}')
+            ), reassembled AS (
+              SELECT doc_id,
+                     md5(string_agg(s.text, '' ORDER BY s.offset)) AS m_exploded
+              FROM (SELECT doc_id, unnest(spans) AS s FROM c)
+              GROUP BY doc_id
+            ), original AS (
+              SELECT doc_id,
+                     md5(array_to_string(
+                         list_transform(
+                             list_sort(list_transform(spans,
+                                 x -> {{'o': x.offset, 't': x.text}})),
+                             y -> coalesce(y.t, '')), '')) AS m_array
+              FROM c
+            )
+            SELECT r.doc_id, (m_exploded = m_array) AS roundtrip_ok
+            FROM reassembled r JOIN original o ON r.doc_id = o.doc_id
+            ORDER BY r.doc_id
+        """,
+        "media_spans": f"""
+            WITH {_MEDIA_CTE}
+            SELECT doc_id, media_ref, kind FROM media
+            ORDER BY doc_id, media_ref
+        """,
+        "multimodal_image_features": f"""
+            WITH {_MEDIA_CTE}
+            SELECT doc_id, media_ref,
+                   64 + ('0x' || substr(sha256(media_ref), 1, 2))::INT * 8 AS width,
+                   64 + ('0x' || substr(sha256(media_ref), 3, 2))::INT * 8 AS height,
+                   sha256(media_ref) AS sha256
+            FROM media
+            WHERE kind IN ('img', 'picture', 'figure', 'media')
+            ORDER BY doc_id, media_ref
+        """,
+        "multimodal_frame_samples": f"""
+            WITH {_MEDIA_CTE},
+            vids AS (
+              SELECT doc_id, media_ref,
+                     1 + ('0x' || substr(sha256(media_ref), 1, 2))::INT % 8 AS n_frames
+              FROM media
+              WHERE kind IN ('video', 'media')
+                AND substr(md5(media_ref), 1, 1) < '4'
+            ), frames AS (
+              SELECT doc_id, media_ref,
+                     unnest(range(0, n_frames))::INT AS frame_idx
+              FROM vids
+            )
+            SELECT doc_id, media_ref, frame_idx,
+                   (frame_idx * 1000)::INT AS ts_ms,
+                   sha256(media_ref || '#frame' || frame_idx::VARCHAR) AS frame_sha256,
+                   NULL::VARCHAR AS error
+            FROM frames
+            ORDER BY doc_id, media_ref, frame_idx
+        """,
+        "extract_corpus": f"""
+            SELECT doc_id, title, byline, language, is_readable,
+                   n_spans, chars_retained
+            FROM read_parquet('{_EXPECTED_CORPUS_PQ}')
+            ORDER BY doc_id
+        """,
+        "extract_testdata": f"""
+            SELECT doc_id, title, reading_time_sec, is_readable, n_spans
+            FROM read_parquet('{_EXPECTED_TESTDATA_PQ}')
+            ORDER BY doc_id
+        """,
+        "extract_metrics_rollup": f"""
+            SELECT ('0x' || substr(md5(doc_id), 1, 2))::INT % 8 AS bucket,
+                   count(*) AS docs,
+                   count(error) AS errors,
+                   sum(CASE WHEN is_readable THEN 1 ELSE 0 END)::BIGINT AS readable,
+                   sum(candidates_scored)::BIGINT AS candidates_scored,
+                   sum(nodes_stripped)::BIGINT AS nodes_stripped,
+                   sum(chars_retained)::BIGINT AS chars_retained
+            FROM read_parquet('{_EXPECTED_CORPUS_PQ}')
+            GROUP BY 1
+            ORDER BY bucket
         """,
         "ann_brute_force": """
             WITH emb AS (

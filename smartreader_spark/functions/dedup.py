@@ -71,24 +71,33 @@ def _shingle_table(docs: DataFrame) -> DataFrame:
 
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str,
-                             threshold: float = 0.4) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs over the embeddings table.
+                             threshold: float = 0.4,
+                             n_planes: int = 4) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, scale-shaped:
 
-    Sandbox-scale: exact all-pairs via self-join (the corpus fits). Scale
-    path: bucket by sign-random-projection first (similarity.lsh_bucketed
-    _topk) so the self-join becomes an equi-join on the bucket id, then
-    verify candidates with the exact cosine below — same verify expression,
-    different candidate generator."""
-    from .similarity import cosine
+    1. candidate generation — sign-random-projection bucket id (same
+       deterministic md5-derived hyperplanes as similarity._srp_bucket),
+       self EQUI-join on the bucket: Spark shuffles (bucket, vec_id,
+       embedding) and hash/sort-merge-joins; no cross product anywhere in
+       the plan (asserted in tests/test_plans.py).
+    2. verify — exact cosine on candidates only, JVM-side higher-order
+       functions.
+
+    LSH semantics: only same-bucket pairs are candidates (the standard
+    recall/cost trade; more planes → fewer, more-similar candidates). The
+    bucket formula is SQL-reproducible, so the DuckDB oracle states the
+    exact same candidate set."""
+    from .similarity import _srp_bucket, cosine
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
-    )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    ).withColumn("bucket", _srp_bucket(F.col("embedding"), n_planes))
+    a = emb.select("bucket", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select("bucket", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("cosine", F.round(cosine(F.col("ea"), F.col("eb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")

@@ -182,7 +182,11 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000,
                     digest = hashlib.sha256(basis).digest()
                     n_frames = 1 + digest[0] % max_frames
                     for i in range(n_frames):
-                        frame_digest = hashlib.sha256(basis + bytes([i])).hexdigest()
+                        # ASCII frame-key suffix: the fake codec's arithmetic
+                        # stays reproducible in plain SQL (sha256 over text)
+                        frame_digest = hashlib.sha256(
+                            basis + (f"#frame{i}").encode("utf-8")
+                        ).hexdigest()
                         recs.append((doc_id, ref, i, i * every_ms, frame_digest, None))
                 except NotImplementedError as e:
                     recs.append((doc_id, ref, None, None, None, str(e)))

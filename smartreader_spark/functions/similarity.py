@@ -72,16 +72,20 @@ def brute_force_topk(spark: SparkSession, sf_dir: str,
     )
 
 
-def _srp_bucket(col, dim: int, n_planes: int = 8):
+def _srp_bucket(col, n_planes: int = 8):
     """Sign-random-projection bucket id: plane p = deterministic pseudo-
     random unit-free vector derived from md5(p||i) (same formula is
-    reproducible in SQL); bucket bit p = sign of dot(plane_p, v)."""
+    reproducible in SQL); bucket bit p = sign of dot(plane_p, v).
+
+    The per-plane weight index runs over the row's own embedding length
+    (F.size) so plan construction needs no driver-side action to learn the
+    dimension — the whole expression stays inside codegen."""
     # weight(p, i) = (conv(md5(p|i)[:4],16,10) / 32768) - 1  ∈ [-1, 1)
     def plane_dot(p):
         return F.aggregate(
             F.zip_with(
                 col,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
+                F.sequence(F.lit(0), F.size(col) - 1),
                 lambda x, i: x
                 * (
                     F.conv(
@@ -113,8 +117,7 @@ def lsh_bucketed_topk(spark: SparkSession, sf_dir: str,
     from pyspark.sql.window import Window
 
     emb = _load(spark, sf_dir).select("vec_id", "embedding")
-    dim = len(emb.select("embedding").first()[0])
-    emb_b = emb.withColumn("bucket", _srp_bucket(F.col("embedding"), dim, n_planes))
+    emb_b = emb.withColumn("bucket", _srp_bucket(F.col("embedding"), n_planes))
     queries = emb_b.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q"),

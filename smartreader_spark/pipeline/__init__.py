@@ -22,5 +22,6 @@ from .extract import (  # noqa: F401
     INPUT_SCHEMA,
     SPAN_TYPE,
     extract_articles,
-    salt_by_size,
+    salted_size_bucket_repartition,
+    spread_repartition,
 )

@@ -32,21 +32,34 @@ def remaining_input(input_df: DataFrame, ledger_df: DataFrame | None) -> DataFra
 
 def load_ledger(spark: SparkSession, output_path: str) -> DataFrame | None:
     """The output table IS the ledger (doc_id projection → column-pruned,
-    predicate-pushed scan)."""
+    predicate-pushed scan). Errored documents are NOT counted as done —
+    a resume retries them (transient failures heal across runs; permanent
+    failures re-fail cheaply and stay diagnosable in lineage)."""
     try:
         if os.path.exists(output_path):
-            return spark.read.parquet(output_path).select("doc_id")
+            return (
+                spark.read.parquet(output_path)
+                .filter(F.col("error").isNull())
+                .select("doc_id")
+            )
     except Exception:
         return None
     return None
 
 
-def lineage_metrics(extracted: DataFrame) -> DataFrame:
+def lineage_metrics(extracted: DataFrame, key: "F.Column | None" = None) -> DataFrame:
     """Per-partition lineage + metrics aggregation — runs as a second,
     cheap aggregation over the extraction output (map-side partial agg;
-    the shuffle moves only counters)."""
+    the shuffle moves only counters).
+
+    `key` defaults to the physical spark_partition_id (per-task lineage,
+    the production shape). Pass a deterministic content-derived key (e.g.
+    an md5 bucket of doc_id) when the rollup must be reproducible across
+    cluster topologies — the correctness-gate query does this so the same
+    rollup is restatable in plain SQL on any engine."""
+    key = F.spark_partition_id() if key is None else key
     return (
-        extracted.withColumn("_part", F.spark_partition_id())
+        extracted.withColumn("_part", key)
         .groupBy("_part")
         .agg(
             F.count("*").alias("docs"),
@@ -74,23 +87,34 @@ def run_resumable_extraction(
     after a crash extracts only the documents missing from the output."""
     from .extract import extract_articles
 
-    run_id = run_id or f"run-{int(time.time())}"
+    run_id = run_id or f"run-{time.time_ns()}"
     ledger = load_ledger(spark, output_path)
     todo = remaining_input(input_df, ledger)
 
     extracted = extract_articles(todo, num_partitions=num_partitions, options=options)
 
-    # write data (append) — on Iceberg this would be
-    # df.writeTo(table).append() under snapshot isolation
-    extracted.write.mode("append").parquet(output_path)
+    # write data under a run_id= partition directory (the plain-parquet
+    # analog of an Iceberg snapshot: on Iceberg this would be
+    # df.writeTo(table).append() and the snapshot id would scope the run)
+    extracted.withColumn("run_id", F.lit(run_id)).write.mode("append").partitionBy(
+        "run_id"
+    ).parquet(output_path)
 
-    # lineage pass over what we just wrote for this run: cheap agg over
-    # the run's share (re-scan of appended files is avoided by computing
-    # from the output delta; in the sandbox we aggregate the full table)
-    out_df = spark.read.parquet(output_path)
-    lineage = lineage_metrics(out_df).withColumn("run_id", F.lit(run_id))
+    # per-run lineage from the run's own delta: partition pruning on
+    # run_id= restricts the scan to exactly the files this run wrote —
+    # the (possibly huge) output table is never rescanned, and re-reading
+    # the committed files (instead of a cached plan) is immune to the
+    # ledger anti-join now seeing this run's own output
+    delta = spark.read.parquet(output_path).filter(F.col("run_id") == run_id)
+    lineage = lineage_metrics(delta.drop("run_id")).withColumn("run_id", F.lit(run_id))
     lineage_path = output_path.rstrip("/") + "_lineage"
     lineage.write.mode("append").parquet(lineage_path)
 
-    total = out_df.count()
-    return {"run_id": run_id, "output_path": output_path, "total_docs": total}
+    run_docs = (
+        spark.read.parquet(lineage_path)
+        .filter(F.col("run_id") == run_id)
+        .agg(F.sum("docs"))
+        .collect()[0][0]
+        or 0
+    )
+    return {"run_id": run_id, "output_path": output_path, "run_docs": int(run_docs)}

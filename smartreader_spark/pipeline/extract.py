@@ -76,32 +76,55 @@ def doc_bytes_expr() -> "F.Column":
     )
 
 
-def salt_by_size(df: DataFrame, num_partitions: int, salt: int = 8) -> DataFrame:
-    """Skew-aware repartition (north_rule's explicit skew handling).
+def spread_repartition(df: DataFrame, num_partitions: int) -> DataFrame:
+    """Skew-spreading repartition for the extraction stage — round-robin.
 
-    Two mechanisms, chosen after measuring the alternatives:
+    Chosen after measuring the alternatives (see also
+    salted_size_bucket_repartition below, kept as the explicit size-aware
+    strategy):
 
-    1. *Balance*: partition key = hash(doc_id) — uniform per-document
-       placement. With hundreds of documents per partition the expected
-       byte totals equalize (law of large numbers), and unlike
-       coarse (size_bucket, salt) composite keys there is no lumpy
-       key→partition collision that can double one task's bytes
-       (measured 2× wall-time regression from the composite-key scheme).
+    1. *Balance*: round-robin gives exact per-partition row counts and
+       interleaves input order, so consecutive giant pages land on
+       different partitions; with hundreds of documents per partition the
+       byte totals equalize (law of large numbers).
     2. *Memory shaping*: the Arrow record cap
-       (spark.sql.execution.arrow.maxRecordsPerBatch=16) bounds the byte
-       size of any batch reaching Python to ~16 × max-doc-size, so one
-       burst of giant pages cannot OOM a worker.
+       (spark.sql.execution.arrow.maxRecordsPerBatch, session default 4-16)
+       bounds the byte size of any batch reaching Python to
+       ~cap × max-doc-size, so one burst of giant pages cannot OOM a
+       worker.
+    3. *Straggler bound*: at cluster scale pass num_partitions ≈ 3-4× the
+       total task slots; the scheduler's work stealing then absorbs any
+       residual byte imbalance (a partition is at most a few seconds of
+       work, so the slowest tail is bounded by one partition's wall).
 
-    Implementation: round-robin repartition — exact per-partition row
-    counts, no hash-collision lumpiness. Two rejected designs, measured:
-    a (size_bucket, salt)-keyed hash repartition (≈100 coarse keys
-    collide into few partitions → one task gets 2× the bytes → 2× wall)
-    and an in-partition descending-size sort (biggest-docs-first
-    scheduling, but the per-task JVM sort of fat rows delays first-batch
-    delivery to every Python worker and cost more than it saved)."""
-    df = df.withColumn("_doc_bytes", doc_bytes_expr())
-    out = df.repartition(num_partitions)
-    return out.drop("_doc_bytes")
+    Measured rejects (round 1, BASELINE.md): a coarse (size_bucket, salt)
+    composite key with ~100 distinct values hash-collided into few
+    partitions (one task got 2× the bytes → 2× wall); an in-partition
+    descending-size sort delayed first-batch delivery to every Python
+    worker and cost more than it saved."""
+    return df.repartition(num_partitions)
+
+
+def salted_size_bucket_repartition(
+    df: DataFrame, num_partitions: int, salt: int | None = None
+) -> DataFrame:
+    """The north-star's literal skew strategy: hash-repartition on a
+    (size_bucket, salt) composite key so giant documents spread across
+    partitions regardless of input order.
+
+    The salt cardinality scales with the partition count (default
+    16 × num_partitions) so the composite key space is ≫ num_partitions
+    and the coarse-key collision lumpiness measured in round 1 (~100 keys
+    → 2× byte skew) disappears; the salt itself is pmod(hash(doc_id)) —
+    deterministic, no RNG. One shuffle, same as round-robin; no sort.
+
+    Kept as an explicit strategy because it also *co-locates* size classes
+    (useful when a downstream stage wants per-batch docs of similar cost);
+    for pure balance the round-robin default measures equal or better."""
+    salt = salt if salt is not None else 16 * num_partitions
+    size_bucket = F.floor(F.log2(doc_bytes_expr() + F.lit(1)))
+    key = size_bucket * F.lit(salt) + F.pmod(F.hash("doc_id"), F.lit(salt))
+    return df.repartition(num_partitions, key)
 
 
 def reassemble_html_expr():
@@ -189,17 +212,23 @@ def extract_articles(
     base_uri: str = "https://localhost/",
     options: dict | None = None,
     num_partitions: int | None = None,
-    salt: int = 8,
+    skew_strategy: str = "round_robin",
 ) -> DataFrame:
     """The headline operator: (doc_id, spans) → extracted article rows.
 
     Column-prunes to exactly (doc_id, spans) first so the upstream scan
-    reads only what the kernel needs, salts by size bucket, reassembles
+    reads only what the kernel needs, spreads skew across partitions
+    (``skew_strategy``: "round_robin" default, or "size_bucket" for the
+    salted size-bucket key — see spread_repartition /
+    salted_size_bucket_repartition for the measured trade), reassembles
     the HTML JVM-side, and maps the kernel over flat (doc_id, html)
     Arrow batches.
     """
     pruned = df.select("doc_id", "spans")
     if num_partitions:
-        pruned = salt_by_size(pruned, num_partitions, salt=salt)
+        if skew_strategy == "size_bucket":
+            pruned = salted_size_bucket_repartition(pruned, num_partitions)
+        else:
+            pruned = spread_repartition(pruned, num_partitions)
     flat = pruned.select("doc_id", reassemble_html_expr().alias("html"))
     return flat.mapInPandas(_make_extract_batch(options, base_uri), EXTRACT_SCHEMA)

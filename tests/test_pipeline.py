@@ -22,7 +22,8 @@ from smartreader_spark.pipeline.corpus import (
 from smartreader_spark.pipeline.extract import (
     extract_articles,
     reassemble_html_expr,
-    salt_by_size,
+    salted_size_bucket_repartition,
+    spread_repartition,
 )
 
 
@@ -87,11 +88,9 @@ def test_extract_articles_on_corpus(spark, corpus):
     out.unpersist()
 
 
-def test_salt_by_size_spreads_partitions(spark, corpus):
-    scaled = scale_corpus(corpus, 4)
-    salted = salt_by_size(scaled, num_partitions=8, salt=4)
-    sizes = (
-        salted.withColumn("p", F.spark_partition_id())
+def _partition_bytes(df):
+    return (
+        df.withColumn("p", F.spark_partition_id())
         .groupBy("p")
         .agg(
             F.count("*").alias("n"),
@@ -100,11 +99,17 @@ def test_salt_by_size_spreads_partitions(spark, corpus):
         )
         .collect()
     )
-    assert len(sizes) > 1
-    total = sum(r["bytes"] for r in sizes)
-    biggest = max(r["bytes"] for r in sizes)
-    # no partition may hold more than half the corpus bytes post-salt
-    assert biggest < total * 0.5, [r["bytes"] for r in sizes]
+
+
+def test_spread_repartition_balances_bytes(spark, corpus):
+    scaled = scale_corpus(corpus, 4)
+    for strategy in (spread_repartition, salted_size_bucket_repartition):
+        sizes = _partition_bytes(strategy(scaled, 8))
+        assert len(sizes) > 1, strategy.__name__
+        byte_counts = [r["bytes"] for r in sizes]
+        mean = sum(byte_counts) / len(byte_counts)
+        # skew bound: no partition may exceed 1.5x the mean bytes
+        assert max(byte_counts) <= mean * 1.5, (strategy.__name__, byte_counts)
 
 
 def test_resume_skips_done_docs(spark, corpus):
@@ -126,9 +131,12 @@ def test_resume_skips_done_docs(spark, corpus):
         assert out.count() == 30
         # no duplicates
         assert out.select("doc_id").distinct().count() == 30
-        # lineage table exists and accounts for all docs
+        # lineage is per-run (computed from each run's delta, never a
+        # rescan of the output table): the two runs' docs sum to exactly
+        # the corpus size — no double counting after resume
         lin = spark.read.parquet(out_path.rstrip("/") + "_lineage")
-        assert lin.agg(F.max("docs")).collect()[0][0] > 0
+        assert lin.agg(F.sum("docs")).collect()[0][0] == 30
+        assert lin.select("run_id").distinct().count() == 2
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

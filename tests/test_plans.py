@@ -47,11 +47,11 @@ def test_extraction_scan_prunes_to_needed_columns(spark):
         "more_junk", F.lit(1)
     )
     out = extract_articles(wide, num_partitions=2)
-    f = formatted(out)
-    scan = [seg for seg in f.split("\n\n") if "Scan" in seg and "ReadSchema" in seg]
-    # in-memory relation has no ReadSchema; assert on the projected output
+    # the junk columns must be projected away before the exchange feeding
+    # MapInPandas (only doc_id + the reassembled html cross the shuffle)
     plan = plan_of(out)
-    assert "junk" not in plan.split("MapInPandas")[0].split("Project")[-1] or True
+    pre_map = plan.split("MapInPandas")[1] if "MapInPandas" in plan else plan
+    assert "more_junk" not in pre_map, pre_map[:800]
     # stronger check on a parquet-backed scan:
     import tempfile
 
@@ -95,6 +95,19 @@ def test_no_python_eval_in_analytical_plans(spark):
                  "doc_fingerprints", "ann_brute_force"):
         plan = plan_of(qs[name](spark, SF))
         assert "Python" not in plan and "MapInPandas" not in plan, name
+
+
+def test_embedding_dedup_has_no_cross_product(spark):
+    """dedup_embedding_cosine must candidate-generate via the SRP-bucket
+    equi-join — no nested-loop / cartesian join may appear in the plan
+    (the all-pairs theta-join dies at 10^12 rows)."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    for name in ("dedup_embedding_cosine", "ann_lsh_bucketed"):
+        plan = plan_of(qs[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
 
 
 def test_extraction_plan_is_arrow_vectorized(spark):
