@@ -142,6 +142,11 @@ def _pinned_extract(cores: int, partitions: int, cpu_list: str,
     ]
     env = dict(os.environ)
     out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=280)
+    if out.returncode != 0 or not out.stdout.strip():
+        raise RuntimeError(
+            f"pinned extract child failed (rc={out.returncode}, cpus={cpu_list}): "
+            f"stderr tail: {out.stderr[-800:]}"
+        )
     line = out.stdout.strip().splitlines()[-1]
     d = json.loads(line)
     return d["docs"], d["wall"]

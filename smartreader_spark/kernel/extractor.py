@@ -98,6 +98,15 @@ class Options:
     # serialized options dict.
     custom_operations_start: tuple = ()
     custom_operations_end: tuple = ()
+    # Article's pluggable function registry (Article.cs:73-117): each hook
+    # defaults to None = the reference's default behavior. Under Spark
+    # these ship inside the options closure (module-level callables only,
+    # so they pickle to executors — see kernel/langid.py for ready-made
+    # language identifiers).
+    language_identification: object = None  # (text, lang|None) -> lang|None
+    create_summary: object = None  # (text, excerpt|None) -> excerpt|None
+    serializer: object = None  # (article Element) -> list[span dict]
+    converter: object = None  # (article Element) -> plaintext str
 
 
 @dataclass
@@ -311,10 +320,20 @@ class Extractor:
         pre-grab passes. Replaces the reference's eager InnerHtml
         snapshot (SmartReader.cs:1017-1020) — only ~10% of documents
         ever retry, so serializing every document up front is wasted
-        work for the other 90%."""
-        doc = parse_html(self.raw_html)
-        for op in self.options.custom_operations_start:
-            op(doc.document_element)
+        work for the other 90%.
+
+        custom_operations_start runs at most ONCE more than the
+        reference's exactly-once: the first rebuild snapshots its
+        post-op serialized form, and later retries (up to 2 more flag
+        sieves) re-parse that snapshot instead of re-running user ops —
+        a non-idempotent op therefore executes at most twice, never 4x."""
+        snapshot = getattr(self, "_rebuild_snapshot", None)
+        doc = parse_html(snapshot if snapshot is not None else self.raw_html)
+        if snapshot is None:
+            for op in self.options.custom_operations_start:
+                op(doc.document_element)
+            if self.options.custom_operations_start:
+                self._rebuild_snapshot = doc.document_element.outer_html
         unwrap_noscript_images(doc)
         remove_scripts(doc.document_element)
         saved = self.doc

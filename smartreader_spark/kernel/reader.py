@@ -59,17 +59,29 @@ def extract_html(html: str, uri: str = DEFAULT_URI, options: Options | None = No
             "error": None,
         }
 
+    opts = options
     element_text = result.content.text_content
-    plaintext = convert_to_plaintext(result.content)
-    ttr_min = time_to_read_minutes(element_text, plaintext, result.language)
+    converter = getattr(opts, "converter", None) or convert_to_plaintext
+    plaintext = converter(result.content)
+
+    # Article.cs:130 — LanguageIdentification(TextContent, metadata lang)
+    # runs before TimeToRead (whose chars/minute weight uses the language)
+    lang_hook = getattr(opts, "language_identification", None)
+    language = lang_hook(element_text, result.language) if lang_hook else result.language
+
+    summary_hook = getattr(opts, "create_summary", None)
+    excerpt = summary_hook(element_text, result.excerpt) if summary_hook else result.excerpt
+
+    serializer = getattr(opts, "serializer", None) or dom_to_output_spans
+    ttr_min = time_to_read_minutes(element_text, plaintext, language)
 
     return {
-        "spans": dom_to_output_spans(result.content),
+        "spans": serializer(result.content),
         "title": result.title or None,
         "byline": result.byline,
         "dir": result.dir,
-        "language": result.language,
-        "excerpt": result.excerpt,
+        "language": language,
+        "excerpt": excerpt,
         "site_name": result.site_name,
         "author": result.author,
         "published_at": result.publication_date,

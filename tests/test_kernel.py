@@ -227,3 +227,60 @@ def test_pathological_inputs_do_not_crash():
 def test_max_elems_guard():
     r = extract_html("<p>a</p>" * 100, options=Options(max_elems_to_parse=10))
     assert r["error"] is not None and "Aborting" in r["error"]
+
+
+def test_pluggable_article_hooks():
+    """Article.cs:73-117's four static plug points, as per-call Options:
+    serializer, converter, create_summary, language_identification."""
+    from smartreader_spark.kernel.langid import metadata_language, stopword_language
+
+    html = (
+        "<html lang='it'><body><article><p>"
+        + "the cat sat on the mat and it was the best of days for it. " * 20
+        + "</p></article></body></html>"
+    )
+    # default: metadata language wins (reference default hook semantics)
+    r = extract_html(html)
+    assert r["language"] == "it"
+    r = extract_html(html, options=Options(language_identification=metadata_language))
+    assert r["language"] == "it"
+    # stopword identifier overrides with the detected language
+    r = extract_html(html, options=Options(language_identification=stopword_language))
+    assert r["language"] == "en"
+
+    # custom summary + serializer + converter
+    def my_summary(text, excerpt):
+        return "SUMMARY:" + (excerpt or "")[:10]
+
+    def my_serializer(el):
+        return [{"kind": "text", "text": el.tag, "media_ref": None, "offset": 0}]
+
+    def my_converter(el):
+        return "PLAIN"
+
+    r = extract_html(
+        html,
+        options=Options(
+            create_summary=my_summary, serializer=my_serializer, converter=my_converter
+        ),
+    )
+    assert r["excerpt"].startswith("SUMMARY:")
+    assert r["spans"] == [{"kind": "text", "text": "div", "media_ref": None, "offset": 0}]
+
+
+def test_custom_operations_start_run_at_most_twice():
+    """The reference snapshots InnerHtml AFTER custom ops run once
+    (SmartReader.cs:1017-1020); our lazy rebuild may re-run them once on
+    the first retry but must snapshot from there — a non-idempotent user
+    op may execute at most twice even when the retry sieve exhausts all
+    flag attempts (low-content page → 4 grab attempts)."""
+    calls = []
+
+    def op(root):
+        calls.append(1)
+
+    # tiny content: fails CharThreshold every attempt -> maximum retries
+    html = "<html><body><div><p>short.</p></div></body></html>"
+    r = extract_html(html, options=Options(custom_operations_start=(op,)))
+    assert r["error"] is None
+    assert 1 <= len(calls) <= 2, len(calls)

@@ -141,6 +141,21 @@ def test_resume_skips_done_docs(spark, corpus):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_language_hook_ships_through_spark_options(spark, corpus):
+    """Options hooks (Article.cs plug points) must survive the closure
+    pickle into executors: language_identification overrides the metadata
+    language on real extraction output."""
+    from smartreader_spark.kernel.langid import stopword_language
+
+    out = extract_articles(
+        corpus.filter(F.col("doc_id") == "001"),
+        num_partitions=1,
+        options={"language_identification": stopword_language},
+    )
+    row = out.select("doc_id", "language").collect()[0]
+    assert row.language == "en"
+
+
 def test_lineage_metrics_shape(spark, corpus):
     out = extract_articles(corpus.limit(10), num_partitions=2)
     lm = lineage_metrics(out)
