@@ -62,7 +62,10 @@ def make_session(cores: int):
         .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("BENCH_ARROW_BATCH", "4"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "12g"))
         .config(
             "spark.driver.extraJavaOptions",
@@ -117,9 +120,14 @@ def _extract_run_child(cores: int, partitions: int, corpus: str) -> None:
 
     spark = make_session(cores)
     warm_python_workers(spark, cores)
-    # untimed JIT/codegen warm pass over a small slice
+    # untimed JIT/codegen warm pass over a small slice. CRITICAL: no
+    # repartition here — a repartition-fed mapInPandas warm job leaves the
+    # session in a state where the NEXT repartition-fed mapInPandas job
+    # runs ~2x slower (measured 19s -> 39-43s on the x16 corpus; partially
+    # heals after sleep). A single-partition warm pass shows no such
+    # poisoning and still JIT-warms the scan/codegen/Arrow paths.
     warm_df = spark.read.parquet(corpus).limit(100)
-    extract_articles(warm_df, num_partitions=partitions).agg(F.count("*")).collect()
+    extract_articles(warm_df).agg(F.count("*")).collect()
 
     df = spark.read.parquet(corpus)
     t0 = time.time()
