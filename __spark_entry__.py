@@ -5,9 +5,12 @@ entry(spark)   — flagship: wrap sf0.001 documents into interleaved span
                  Arrow-batched mapInPandas.
 queries()      — every implemented operator (SURVEY.md §2 + training-data
                  ops); each callable (spark, sf_dir) -> DataFrame.
-oracle_sql()   — DuckDB-runnable ANSI SQL equivalents for the
-                 SQL-expressible ops. Extraction-kernel queries are DOM
-                 algorithms (not SQL-expressible) → rows-only checks.
+oracle_sql()   — DuckDB-runnable ANSI SQL for EVERY query (22/22).
+                 Relational/dedup/similarity/multimodal ops restate their
+                 logic in SQL directly; the DOM-kernel queries oracle
+                 against committed expected tables (tools/build_expected
+                 .py — regenerate after any kernel change), themselves
+                 grounded by the 142-fixture golden harness.
 """
 
 from __future__ import annotations

@@ -198,3 +198,51 @@ def test_streaming_extraction_end_to_end(spark):
         assert out.filter(F.col("error").isNotNull()).count() == 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_stateful_dedup_gate(spark):
+    """applyInPandasWithState dedup: across TWO micro-batches containing
+    the same content, only the first occurrence is marked is_first — the
+    state store remembers fingerprints across triggers."""
+    from smartreader_spark.streaming.dedup_stream import stream_dedup_exact
+
+    tmp = tempfile.mkdtemp(prefix="sdedup_")
+    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+    os.makedirs(src)
+    try:
+        schema = "doc_id string, text string"
+        # batch 1: two unique docs; batch 2: one dup of doc a + one new
+        spark.createDataFrame(
+            [("a", "the quick brown fox"), ("b", "hello world")], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = stream_dedup_exact(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dedup_gate")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [("a2", "THE  quick   brown fox"), ("c", "fresh content")], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        q.stop()
+
+        rows = {r["doc_id"]: r for r in spark.sql("SELECT * FROM dedup_gate").collect()}
+        assert len(rows) == 4
+        assert rows["a"]["is_first"] is True
+        assert rows["b"]["is_first"] is True
+        assert rows["c"]["is_first"] is True
+        # same normalized fingerprint as 'a', seen in an EARLIER trigger
+        assert rows["a2"]["is_first"] is False
+        assert rows["a2"]["fp"] == rows["a"]["fp"]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
