@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         exact_dedup_groups,
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
+        simhash_near_dup_pairs,
         simhash_signatures,
     )
     from smartreader_spark.functions.multimodal import (
@@ -98,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lsh_bucketed_topk,
     )
     from smartreader_spark.functions.textqa import (
+        bpe_token_counts,
         doc_fingerprints,
         language_guess,
         quality_scores,
@@ -309,9 +311,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": minhash_lsh_pairs,
         "dedup_ngram_jaccard": ngram_jaccard_pairs,
         "dedup_simhash": simhash_signatures,
+        "dedup_simhash_pairs": simhash_near_dup_pairs,
         "ann_brute_force": brute_force_topk,
         "ann_lsh_bucketed": lsh_bucketed_topk,
         "token_counts": token_counts,
+        "bpe_token_counts": bpe_token_counts,
         "quality_scores": quality_scores,
         "language_guess": language_guess,
         "doc_fingerprints": doc_fingerprints,
@@ -324,6 +328,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 _TOKS = f"string_split({_NORM}, ' ')"
+
+# the GPT-2-style pre-tokenizer pattern, SQL-quoted (RE2-compatible —
+# verified identical tokenization between Java regex, RE2 and Python re)
+def _bpe_pat_sql() -> str:
+    from smartreader_spark.functions.textqa import BPE_PRETOKEN_PATTERN
+
+    return BPE_PRETOKEN_PATTERN.replace("'", "''")
+
+
+_BPE_PAT_SQL = _bpe_pat_sql()
 
 # absolute paths: the DuckDB side of the gate runs with no cwd guarantee
 _CORPUS_PQ = f"{_REPO}/fixtures/corpus.parquet/*.parquet"
@@ -476,6 +490,43 @@ def oracle_sql() -> dict[str, str]:
                    ({" + ".join(f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(16))})::INT
                        AS simhash
             FROM bits
+            ORDER BY doc_id
+        """,
+        "dedup_simhash_pairs": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
+            ), h AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(tok), 1, 4))::BIGINT AS hv
+              FROM toks
+            ), bits AS (
+              SELECT doc_id,
+                     {", ".join(f"sum(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(16))}
+              FROM h GROUP BY doc_id
+            ), sigs AS (
+              SELECT doc_id,
+                     ({" + ".join(f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(16))})::BIGINT
+                         AS simhash
+              FROM bits
+            ), banded AS (
+              SELECT doc_id, simhash, band,
+                     (simhash >> (band * 4)) & 15 AS nib
+              FROM sigs, (SELECT unnest(range(0, 4))::INT AS band) b
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            ORDER BY doc_a, doc_b
+        """,
+        "bpe_token_counts": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{_BPE_PAT_SQL}')) AS n_pieces,
+                   len(list_distinct(regexp_extract_all(text, '{_BPE_PAT_SQL}')))
+                       AS n_distinct_pieces,
+                   length(text) AS n_chars
+            FROM documents
             ORDER BY doc_id
         """,
         "dedup_embedding_cosine": f"""

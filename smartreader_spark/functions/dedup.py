@@ -188,6 +188,42 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
     return j
 
 
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str,
+                           max_hamming: int = 3) -> DataFrame:
+    """SimHash near-duplicate pairs, scale-shaped like the MinHash path:
+    candidates = docs sharing at least one 4-bit band of the 16-bit
+    signature (pigeonhole: hamming ≤ 3 over 4 bands guarantees one equal
+    band → NO recall loss vs all-pairs at these parameters), verified by
+    exact hamming distance via bit_count(xor). Equi-join on (band, nibble)
+    — fixed-width keys, no cross product."""
+    sigs = simhash_signatures(spark, sf_dir)  # (doc_id, simhash int)
+    bands = spark.range(4).select(F.col("id").cast("int").alias("band"))
+    banded = sigs.crossJoin(F.broadcast(bands)).select(
+        "doc_id",
+        "simhash",
+        "band",
+        # shiftright() in the Python API needs a literal shift; use expr
+        # for the column-valued band shift
+        F.expr("shiftright(simhash, band * 4) & 15").alias("nib"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.nib") == F.col("b.nib")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash")).cast("long")
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+    return pairs
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document: for bit i, sign = Σ_tokens (bit_i(md5
     prefix) ? 1 : −1); bit set when sign > 0. Pure expressions: the md5

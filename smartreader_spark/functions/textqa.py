@@ -42,6 +42,27 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+BPE_PRETOKEN_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+)
+
+
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-style pre-tokenizer counts: contraction suffixes, space-
+    prefixed word/number/punctuation runs, whitespace runs (the regex
+    family BPE vocabularies are trained over). Pure regexp_extract_all —
+    JVM-side, no shuffle; the same pattern is RE2-compatible so the
+    DuckDB oracle states it verbatim."""
+    docs = _load(spark, sf_dir)
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(BPE_PRETOKEN_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.size(pieces).alias("n_pieces"),
+        F.size(F.array_distinct(pieces)).alias("n_distinct_pieces"),
+        F.length(F.col("text")).alias("n_chars"),
+    ).orderBy("doc_id")
+
+
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length + punctuation + stopword-ratio quality heuristics (the same
     signal family the extraction kernel uses for link/text density)."""

@@ -156,6 +156,47 @@ def test_language_hook_ships_through_spark_options(spark, corpus):
     assert row.language == "en"
 
 
+def test_spark_submit_py_files_job(spark, corpus):
+    """The north_rule's literal launch shape: spark-submit --py-files
+    <pkg.zip> tools/submit_extract.py — the package must import on
+    executors from the zip (no repo cwd assumption) and the job must
+    produce extraction output + lineage."""
+    import json
+    import shutil as _shutil
+    import subprocess
+
+    from smartreader_spark.pipeline.session import package_zip
+
+    spark_submit = _shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    tmp = tempfile.mkdtemp(prefix="submit_")
+    try:
+        src = os.path.join(tmp, "in.parquet")
+        out_path = os.path.join(tmp, "out.parquet")
+        corpus.limit(6).write.parquet(src)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        cmd = [
+            spark_submit,
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--py-files", package_zip(),
+            os.path.join(repo, "tools", "submit_extract.py"),
+            src, out_path, "2",
+        ]
+        env = {k: v for k, v in os.environ.items()}
+        # run from a NEUTRAL cwd so only --py-files provides the package
+        res = subprocess.run(cmd, capture_output=True, text=True, cwd=tmp,
+                             env=env, timeout=240)
+        assert res.returncode == 0, res.stderr[-1500:]
+        summary = json.loads(res.stdout.strip().splitlines()[-1])
+        assert summary["run_docs"] == 6
+        out = spark.read.parquet(out_path)
+        assert out.count() == 6
+        lin = spark.read.parquet(out_path.rstrip("/") + "_lineage")
+        assert lin.agg(F.sum("docs")).collect()[0][0] == 6
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_lineage_metrics_shape(spark, corpus):
     out = extract_articles(corpus.limit(10), num_partitions=2)
     lm = lineage_metrics(out)
