@@ -53,6 +53,8 @@ ANALYTICAL = [
     "doc_fingerprints",
     "dedup_exact",
     "dedup_simhash",
+    "dedup_simhash_pairs",
+    "bpe_token_counts",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "ann_brute_force",

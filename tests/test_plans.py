@@ -91,7 +91,8 @@ def test_no_python_eval_in_analytical_plans(spark):
 
     qs = e.queries()
     for name in ("dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-                 "token_counts", "quality_scores", "language_guess",
+                 "dedup_simhash_pairs", "token_counts", "bpe_token_counts",
+                 "quality_scores", "language_guess",
                  "doc_fingerprints", "ann_brute_force"):
         plan = plan_of(qs[name](spark, SF))
         assert "Python" not in plan and "MapInPandas" not in plan, name
