@@ -129,9 +129,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Equi-join on fixed-width keys → hash shuffle, no cross product."""
     docs = _load_documents(spark, sf_dir).select("doc_id", "text")
     sh = _shingle_table(docs)
-    bands = spark.range(NUM_BANDS).select(F.col("id").cast("int").alias("band"))
     sigs = (
-        sh.crossJoin(F.broadcast(bands))
+        # per-band rows via explode of a literal sequence: a pure
+        # projection (no join operator, nothing broadcast)
+        sh.withColumn(
+            "band", F.explode(F.sequence(F.lit(0), F.lit(NUM_BANDS - 1)))
+        )
         .select(
             "doc_id",
             "band",
@@ -197,8 +200,9 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str,
     exact hamming distance via bit_count(xor). Equi-join on (band, nibble)
     — fixed-width keys, no cross product."""
     sigs = simhash_signatures(spark, sf_dir)  # (doc_id, simhash int)
-    bands = spark.range(4).select(F.col("id").cast("int").alias("band"))
-    banded = sigs.crossJoin(F.broadcast(bands)).select(
+    banded = sigs.withColumn(
+        "band", F.explode(F.sequence(F.lit(0), F.lit(3)))
+    ).select(
         "doc_id",
         "simhash",
         "band",
