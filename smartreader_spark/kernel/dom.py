@@ -22,6 +22,7 @@ blow the interpreter stack inside an executor.
 
 from __future__ import annotations
 
+import os
 import re
 from html.parser import HTMLParser
 
@@ -547,9 +548,9 @@ class _TreeBuilder(HTMLParser):
                 self.stack = [self._html, self._body]
 
     def _open(self, tag: str, attrs: list[tuple[str, str | None]]) -> Element:
+        # attr keys arrive pre-lowercased from both tokenizer paths
         amap: dict[str, str] = {}
         for k, v in attrs:
-            k = k.lower()
             if k and k not in amap:
                 amap[k] = v if v is not None else ""
         el = Element(tag, amap)
@@ -676,7 +677,8 @@ class _TreeBuilder(HTMLParser):
                 self._flush_text()
                 self._in_body = True
                 self.stack = [self._html, self._body]
-        self._flush_text()
+        if self._text_parts:
+            self._flush_text()
         if tag in _TABLE_CTX_TAGS:
             if not self._table_fixup(tag):
                 self._implied_closes(tag)
@@ -717,7 +719,8 @@ class _TreeBuilder(HTMLParser):
 
     def handle_endtag(self, tag: str) -> None:
         tag = tag.lower()
-        self._flush_text()
+        if self._text_parts:
+            self._flush_text()
         if tag in ("html", "body"):
             self._in_body = True
             self.stack = [self._html, self._body]
@@ -788,6 +791,9 @@ class _TreeBuilder(HTMLParser):
         self._flush_text()
 
 
+USE_FAST_TOKENIZER = True  # flip (or set env SMARTREADER_SLOW_TOKENIZER=1) to A/B
+
+
 def parse_html(html: str) -> Document:
     """Parse an HTML string into a Document.
 
@@ -796,11 +802,25 @@ def parse_html(html: str) -> Document:
     ``<noscript>`` content stays inert text — HTMLParser likewise does not
     parse noscript content as markup only if we mark it; we parse it as
     normal markup, then the kernel treats noscript specially).
+
+    Tokenization: the fast single-pass scanner (kernel/fasttok.py,
+    stdlib-semantics-identical, differentially tested against html.parser
+    on every fixture) with a whole-document stdlib fallback on any bail.
     """
-    tb = _TreeBuilder()
     # a leading U+FEFF is a byte-order mark, ignored by HTML5 parsers
     if html.startswith("﻿"):
         html = html.lstrip("﻿")
+    if USE_FAST_TOKENIZER and not os.environ.get("SMARTREADER_SLOW_TOKENIZER"):
+        from . import fasttok
+
+        tb = _TreeBuilder()
+        try:
+            fasttok.tokenize(html, tb)
+            tb._flush_text()
+            return tb.doc
+        except Exception:
+            pass  # any anomaly: re-parse from scratch with the stdlib path
+    tb = _TreeBuilder()
     try:
         tb.feed(html)
         tb.close()
