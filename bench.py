@@ -282,7 +282,14 @@ def main() -> None:
         # efficiency = best phase-consistent pair.
         walls8, walls32, pair_eff = [], [], []
         docs8 = docs32 = 0
+        # time-budget valve: if the host is in a slow phase (every child
+        # crawling), stop sampling pairs rather than risk the caller's
+        # timeout killing the whole bench before it prints its JSON line
+        t_start = time.time()
+        budget = int(os.environ.get("BENCH_TIME_BUDGET_SEC", "600"))
         for _ in range(int(os.environ.get("BENCH_PAIRS", "3"))):
+            if walls32 and time.time() - t_start > budget:
+                break
             # @8 is far less phase-sensitive (8 of 32 cores, observed
             # +-10%) -> one inner repeat; @32 keeps best-of-2 in-child
             os.environ["BENCH_CHILD_REPEATS"] = "1"
