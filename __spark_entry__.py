@@ -497,26 +497,27 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
             ), h AS (
               SELECT doc_id,
-                     ('0x' || substr(md5(tok), 1, 4))::BIGINT AS hv
+                     ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
               FROM toks
             ), bits AS (
               SELECT doc_id,
-                     {", ".join(f"sum(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(16))}
+                     {", ".join(f"sum(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(60))}
               FROM h GROUP BY doc_id
             ), sigs AS (
               SELECT doc_id,
-                     ({" + ".join(f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(16))})::BIGINT
+                     ({" + ".join(f"CASE WHEN b{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END" for i in range(60))})::BIGINT
                          AS simhash
               FROM bits
             ), banded AS (
               SELECT doc_id, simhash, band,
-                     (simhash >> (band * 4)) & 15 AS nib
-              FROM sigs, (SELECT unnest(range(0, 4))::INT AS band) b
+                     (simhash >> (band * 10)) & 1023 AS bandbits
+              FROM sigs, (SELECT unnest(range(0, 6))::INT AS band) b
             )
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    bit_count(xor(a.simhash, b.simhash))::INT AS hamming
             FROM banded a JOIN banded b
-              ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
+              ON a.band = b.band AND a.bandbits = b.bandbits
+                 AND a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
             ORDER BY doc_a, doc_b
         """,

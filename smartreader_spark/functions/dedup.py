@@ -194,25 +194,32 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str,
                            max_hamming: int = 3) -> DataFrame:
     """SimHash near-duplicate pairs, scale-shaped like the MinHash path:
-    candidates = docs sharing at least one 4-bit band of the 16-bit
-    signature (pigeonhole: hamming ≤ 3 over 4 bands guarantees one equal
-    band → NO recall loss vs all-pairs at these parameters), verified by
-    exact hamming distance via bit_count(xor). Equi-join on (band, nibble)
-    — fixed-width keys, no cross product."""
-    sigs = simhash_signatures(spark, sf_dir)  # (doc_id, simhash int)
+    a 60-bit signature (15-hex-char md5 prefix — fits a signed 64-bit
+    value on every engine) banded into 6 × 10-bit keys; docs sharing any
+    band are candidates (pigeonhole: hamming ≤ 5 over 6 bands guarantees
+    an equal band → NO recall loss at max_hamming ≤ 5), verified by exact
+    bit_count(xor). Equi-join on (band, band-bits) — fixed-width keys, no
+    cross product.
+
+    Signature width matters at scale: a 16-bit signature has only 16
+    values per 4-bit band, so at 10^6+ docs every bucket goes quadratic.
+    10-bit bands give 1024 buckets per band; candidate volume stays
+    ~n²/(6·1024) of all-pairs and shrinks further with wider bands."""
+    sigs = _simhash_wide(spark, sf_dir, n_bits=60)
     banded = sigs.withColumn(
-        "band", F.explode(F.sequence(F.lit(0), F.lit(3)))
+        "band", F.explode(F.sequence(F.lit(0), F.lit(5)))
     ).select(
         "doc_id",
         "simhash",
         "band",
         # shiftright() in the Python API needs a literal shift; use expr
         # for the column-valued band shift
-        F.expr("shiftright(simhash, band * 4) & 15").alias("nib"),
+        F.expr("shiftright(simhash, band * 10) & 1023").alias("bandbits"),
     )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.nib") == F.col("b.nib")))
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bandbits") == F.col("b.bandbits")))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -226,6 +233,32 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str,
         .orderBy("doc_a", "doc_b")
     )
     return pairs
+
+
+def _simhash_wide(spark: SparkSession, sf_dir: str, n_bits: int = 60) -> DataFrame:
+    """n-bit SimHash per document (same construction as
+    simhash_signatures, wider hash prefix: ceil(n/4) md5 hex chars)."""
+    docs = _load_documents(spark, sf_dir).select("doc_id", "text")
+    n_hex = (n_bits + 3) // 4
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok")
+    ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, n_hex), 16, 10).cast("long"))
+
+    agg = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(n_bits)
+        ]
+    )
+    return agg.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+            for i in range(n_bits)
+        ).cast("long").alias("simhash"),
+    )
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
