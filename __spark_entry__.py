@@ -329,6 +329,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 _TOKS = f"string_split({_NORM}, ' ')"
 
+
+def _simhash_max_bucket() -> int:
+    from smartreader_spark.functions.dedup import SIMHASH_MAX_BUCKET
+
+    return SIMHASH_MAX_BUCKET
+
+
+_SIMHASH_MAX_BUCKET = _simhash_max_bucket()
+
 # the GPT-2-style pre-tokenizer pattern, SQL-quoted (RE2-compatible —
 # verified identical tokenization between Java regex, RE2 and Python re)
 def _bpe_pat_sql() -> str:
@@ -512,10 +521,17 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, simhash, band,
                      (simhash >> (band * 10)) & 1023 AS bandbits
               FROM sigs, (SELECT unnest(range(0, 6))::INT AS band) b
+            ), small AS (
+              -- mirrors the Spark skew valve (dedup.SIMHASH_MAX_BUCKET):
+              -- buckets larger than the cap are dropped from candidates
+              SELECT band, bandbits FROM banded
+              GROUP BY band, bandbits HAVING count(*) <= {_SIMHASH_MAX_BUCKET}
             )
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    bit_count(xor(a.simhash, b.simhash))::INT AS hamming
-            FROM banded a JOIN banded b
+            FROM banded a
+            JOIN small s ON a.band = s.band AND a.bandbits = s.bandbits
+            JOIN banded b
               ON a.band = b.band AND a.bandbits = b.bandbits
                  AND a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3

@@ -123,12 +123,18 @@ def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
+                      sh: DataFrame | None = None) -> DataFrame:
     """MinHash+LSH candidate pairs: per band b∈[0,4), signature =
     min(md5(b || shingle)); docs sharing (band, signature) are candidates.
-    Equi-join on fixed-width keys → hash shuffle, no cross product."""
-    docs = _load_documents(spark, sf_dir).select("doc_id", "text")
-    sh = _shingle_table(docs)
+    Equi-join on fixed-width keys → hash shuffle, no cross product.
+
+    `sh`: optional precomputed (doc_id, shingle) table (``_shingle_table``
+    output, ideally cached) so a pipeline computing both candidates and
+    the Jaccard verify shuffles the token stream once, not twice."""
+    if sh is None:
+        docs = _load_documents(spark, sf_dir).select("doc_id", "text")
+        sh = _shingle_table(docs)
     sigs = (
         # per-band rows via explode of a literal sequence: a pure
         # projection (no join operator, nothing broadcast)
@@ -160,15 +166,24 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        sh: DataFrame | None = None,
+                        cand: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard over LSH candidate pairs (the verify stage of
     the dedup pipeline) — fully relational: intersections come from an
     equi-join on the shingle table (at scale, never materialize per-doc
-    shingle arrays in a row)."""
-    docs = _load_documents(spark, sf_dir).select("doc_id", "text")
-    sh = _shingle_table(docs).cache()
+    shingle arrays in a row).
+
+    `sh` / `cand`: optional precomputed shingle table / candidate-pair
+    DataFrames. When omitted, the shingle table is built ONCE, cached,
+    and fed to both the LSH candidate generation and the verify joins —
+    the token stream is shuffled once, not recomputed per stage."""
+    if sh is None:
+        docs = _load_documents(spark, sf_dir).select("doc_id", "text")
+        sh = _shingle_table(docs).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    cand = minhash_lsh_pairs(spark, sf_dir)
+    if cand is None:
+        cand = minhash_lsh_pairs(spark, sf_dir, sh=sh)
 
     # intersection size per candidate pair via one equi-join on shingles
     inter = (
@@ -191,8 +206,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
     return j
 
 
+SIMHASH_MAX_BUCKET = 1000
+
+
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str,
-                           max_hamming: int = 3) -> DataFrame:
+                           max_hamming: int = 3,
+                           max_bucket_size: int | None = SIMHASH_MAX_BUCKET) -> DataFrame:
     """SimHash near-duplicate pairs, scale-shaped like the MinHash path:
     a 60-bit signature (15-hex-char md5 prefix — fits a signed 64-bit
     value on every engine) banded into 6 × 10-bit keys; docs sharing any
@@ -204,7 +223,19 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str,
     Signature width matters at scale: a 16-bit signature has only 16
     values per 4-bit band, so at 10^6+ docs every bucket goes quadratic.
     10-bit bands give 1024 buckets per band; candidate volume stays
-    ~n²/(6·1024) of all-pairs and shrinks further with wider bands."""
+    ~n²/(6·1024) of all-pairs and shrinks further with wider bands.
+
+    `max_bucket_size` (skew valve, default 1000): a degenerate corpus —
+    thousands of byte-identical or near-identical docs — collapses one
+    (band, bandbits) bucket and makes its self-join quadratic. Buckets
+    larger than the cap are DROPPED from candidate generation (a k-doc
+    bucket contributes k·(k−1)/2 pairs: 1000 caps a bucket at ~500k
+    candidate rows). The documented trade: identical-doc floods are the
+    job of the *exact* dedup stage that runs before simhash, so the
+    dropped pairs are ones exact dedup already collapsed; audit what was
+    dropped with ``simhash_oversized_buckets``. The count table is at
+    most 6·1024 rows, so the cap costs one broadcast join, never a
+    shuffle. Pass ``max_bucket_size=None`` to disable."""
     sigs = _simhash_wide(spark, sf_dir, n_bits=60)
     banded = sigs.withColumn(
         "band", F.explode(F.sequence(F.lit(0), F.lit(5)))
@@ -216,6 +247,14 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str,
         # for the column-valued band shift
         F.expr("shiftright(simhash, band * 10) & 1023").alias("bandbits"),
     )
+    if max_bucket_size is not None:
+        small = (
+            banded.groupBy("band", "bandbits")
+            .agg(F.count("*").alias("bucket_n"))
+            .filter(F.col("bucket_n") <= max_bucket_size)
+            .select("band", "bandbits")
+        )
+        banded = banded.join(F.broadcast(small), ["band", "bandbits"])
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -233,6 +272,25 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str,
         .orderBy("doc_a", "doc_b")
     )
     return pairs
+
+
+def simhash_oversized_buckets(spark: SparkSession, sf_dir: str,
+                              max_bucket_size: int = SIMHASH_MAX_BUCKET) -> DataFrame:
+    """Audit companion to `simhash_near_dup_pairs`: the (band, bandbits,
+    bucket_n) buckets the skew valve dropped — record it alongside the
+    dedup run's lineage so the recall trade is observable, not silent."""
+    sigs = _simhash_wide(spark, sf_dir, n_bits=60)
+    banded = sigs.withColumn(
+        "band", F.explode(F.sequence(F.lit(0), F.lit(5)))
+    ).select(
+        "band", F.expr("shiftright(simhash, band * 10) & 1023").alias("bandbits")
+    )
+    return (
+        banded.groupBy("band", "bandbits")
+        .agg(F.count("*").alias("bucket_n"))
+        .filter(F.col("bucket_n") > max_bucket_size)
+        .orderBy("band", "bandbits")
+    )
 
 
 def _simhash_wide(spark: SparkSession, sf_dir: str, n_bits: int = 60) -> DataFrame:

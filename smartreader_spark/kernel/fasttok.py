@@ -10,7 +10,8 @@ token with minimal Python work and a no-attribute fast path.
 Semantics: replicates CPython 3.11 html.parser behavior for whole-string
 feeds (tag/attr tolerant parsing, quoted '>' inside attributes, bogus
 comments, processing instructions, doctype, script/style CDATA modes with
-partial-end-tag re-entry, charref unescaping of text and attribute
+full-closer search — partial end tags like '</script' without '>' stay
+raw text, charref unescaping of text and attribute
 values, unterminated-CDATA dropping). Verified by a differential test
 that parses every reference fixture with both tokenizers and requires
 byte-identical serialized trees (tests/test_kernel.py).
@@ -62,9 +63,15 @@ _MASTER = re.compile(
 # no-attribute fast path for the in-tag body: empty or whitespace only
 _WS_ONLY = re.compile(r"[\s/]*\Z")
 
+# Full closing-tag regexes, exactly like stdlib set_cdata_mode (3.11):
+# ``re.compile(r'</\s*%s\s*>' % elem, re.I)``. A partial closer such as
+# '</script' (no '>') or '</scriptx>' never matches and therefore stays
+# raw text — the earlier two-step form ('</\s*script' then skip-to-'>')
+# diverged on '<script></script</script>' by jumping past the real end
+# tag (round-2 Hypothesis find; pinned in tests/test_fasttok.py).
 _CDATA_CLOSE = {
-    "script": re.compile(r"</\s*script", re.IGNORECASE),
-    "style": re.compile(r"</\s*style", re.IGNORECASE),
+    "script": re.compile(r"</\s*script\s*>", re.IGNORECASE),
+    "style": re.compile(r"</\s*style\s*>", re.IGNORECASE),
 }
 
 
@@ -177,7 +184,10 @@ def tokenize(rawdata: str, handler) -> None:
                     attrs, k2 = _parse_attrs(rawdata, k, endpos)
                     end = rawdata[k2:endpos].strip()
                     kind = 1 if end == ">" else (2 if end == "/>" else 0)
-                    cached = (kind, attrs)
+                    # tuple: the memo hands the SAME attrs object to every
+                    # repetition of an identical tag string — immutable so
+                    # a handler mutating attrs can't corrupt later tags
+                    cached = (kind, tuple(attrs))
                     memo[tag_text] = cached
                 kind, attrs = cached
                 if kind == 0:
@@ -191,28 +201,21 @@ def tokenize(rawdata: str, handler) -> None:
                 handler.handle_starttag(tag, attrs)
                 i = endpos
             if tag in ("script", "style"):
-                # CDATA mode: raw text until a matching end tag; partial
-                # end tags (</scriptx) stay data, per stdlib
-                closer = _CDATA_CLOSE[tag]
-                pos = i
-                while True:
-                    cm = closer.search(rawdata, pos)
-                    if cm is None:
-                        # unterminated: stdlib drops the tail silently
-                        return
-                    em = endtagfind.match(rawdata, cm.start())
-                    if em and em.group(1).lower() == tag:
-                        if cm.start() > i:
-                            handle_data(rawdata[i : cm.start()])
-                        handler.handle_endtag(tag)
-                        i = em.end()
-                        break
-                    # not a real end tag: find '>' (stdlib consumes
-                    # '</...' up to the next '>' as data in cdata mode)
-                    gt = find(">", cm.start() + 1)
-                    if gt < 0:
-                        return
-                    pos = gt + 1
+                # CDATA mode: stdlib searches the FULL closer regex and
+                # emits everything before it as raw (un-unescaped) text;
+                # partial end tags ('</script' without '>', '</scriptx>')
+                # simply don't match and remain data. In 3.11's goahead
+                # the subsequent parse_endtag at the match position always
+                # re-matches endtagfind with the same element, so closer
+                # search start/end are the exact data/endtag boundaries.
+                cm = _CDATA_CLOSE[tag].search(rawdata, i)
+                if cm is None:
+                    # unterminated: stdlib drops the cdata tail silently
+                    return
+                if cm.start() > i:
+                    handle_data(rawdata[i : cm.start()])
+                handler.handle_endtag(tag)
+                i = cm.end()
             continue
 
         if m.group("endtag") is not None:

@@ -35,18 +35,36 @@ DEDUP_STATE_SCHEMA = T.StructType([T.StructField("seen", T.LongType())])
 def _dedup_group(key, pdfs, state):
     """Emit rows of a fingerprint group; only rows arriving while the
     fingerprint was unseen get is_first=True (at most one per key per
-    micro-batch feed order; exactly one across the stream)."""
+    micro-batch feed order; exactly one across the stream). Vectorized:
+    a row is first iff its cumulative position across the stream —
+    prior `seen` count plus offset within this feed — is zero."""
+    import numpy as np
     import pandas as pd
 
     (fp,) = key
     seen = state.get[0] if state.exists else 0
-    out = []
+    frames = []
     for pdf in pdfs:
-        for _, row in pdf.iterrows():
-            out.append((fp, row["doc_id"], row["text"], seen == 0))
-            seen += 1
+        n = len(pdf)
+        if not n:
+            continue
+        frames.append(
+            pd.DataFrame(
+                {
+                    "fp": fp,
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "text": pdf["text"].to_numpy(),
+                    "is_first": np.arange(seen, seen + n) == 0,
+                }
+            )
+        )
+        seen += n
     state.update((seen,))
-    yield pd.DataFrame(out, columns=["fp", "doc_id", "text", "is_first"])
+    if not frames:
+        frames.append(
+            pd.DataFrame(columns=["fp", "doc_id", "text", "is_first"])
+        )
+    yield from frames
 
 
 def stream_dedup_exact(docs_stream: DataFrame) -> DataFrame:

@@ -6,7 +6,7 @@ import glob
 import os
 
 import pytest
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from smartreader_spark.kernel import dom, fasttok
@@ -65,6 +65,10 @@ EDGE_CASES = [
     '<a href="unclosed>text</a>',  # unclosed quote
     "<script>if (a < b && c > d) { x; }</script>after",
     "<script>partial </scriptx> still data</script>tail",
+    "<script>x</script</script>tail",  # partial closer right before real one
+    "<script></script",  # unterminated partial closer at EOF
+    "<style>a</style </style>b",  # '</style ' has trailing space, no '>'
+    "<script>x</ScRiPt >y",  # case+space tolerant closer
     "<script>never closed",
     "<script/>not cdata</script>",
     "<script src='x'/>also not cdata",
@@ -120,5 +124,8 @@ _chunks = st.lists(
 
 @settings(max_examples=300, deadline=None)
 @given(_chunks)
+@example(
+    chunks=["<script>", "</script", "</script>"],
+).via("discovered failure")
 def test_differential_random_tag_chunks(chunks):
     _assert_identical("".join(chunks))

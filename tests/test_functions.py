@@ -246,3 +246,44 @@ def test_streaming_stateful_dedup_gate(spark):
         assert rows["a2"]["fp"] == rows["a"]["fp"]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_simhash_bucket_cap_bounds_degenerate_corpus(spark):
+    """Skew valve: 10k byte-identical docs collapse every (band, bandbits)
+    bucket; without the cap the self-join is ~3·10^8 candidate rows. With
+    the default cap the oversized buckets are dropped, the job completes
+    fast, and no flood pair is emitted (identical docs are the exact-dedup
+    stage's job). The audit companion reports exactly what was dropped."""
+    from smartreader_spark.functions.dedup import (
+        simhash_near_dup_pairs,
+        simhash_oversized_buckets,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="simhash_skew_")
+    try:
+        flood = spark.range(10_000).select(
+            F.col("id").alias("doc_id"),
+            F.lit("identical flood document text repeated everywhere").alias("text"),
+        )
+        distinct_pair = spark.createDataFrame(
+            [(20_001, "alpha beta gamma delta epsilon zeta eta theta"),
+             (20_002, "alpha beta gamma delta epsilon zeta eta iota")],
+            "doc_id long, text string",
+        )
+        flood.unionByName(distinct_pair).coalesce(2).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/documents.parquet")
+
+        t0 = time.time()
+        pairs = simhash_near_dup_pairs(spark, tmp, max_hamming=5).collect()
+        assert time.time() - t0 < 120
+        # every bucket holding ≥2 flood docs holds all 10k → dropped; any
+        # surviving pair must come from the two distinct docs
+        assert all(r.doc_a > 20_000 and r.doc_b > 20_000 for r in pairs)
+        assert len(pairs) <= 1
+
+        over = simhash_oversized_buckets(spark, tmp).collect()
+        assert len(over) == 6
+        assert all(r.bucket_n >= 10_000 for r in over)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
