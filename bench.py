@@ -70,6 +70,13 @@ ANALYTICAL = [
 ]
 
 
+def _arrow_default() -> str:
+    """Single Arrow batch knob: pipeline.session.ARROW_MAX_RECORDS."""
+    from smartreader_spark.pipeline.session import ARROW_MAX_RECORDS
+
+    return str(ARROW_MAX_RECORDS)
+
+
 def make_session(cores: int):
     from pyspark.sql import SparkSession
 
@@ -81,7 +88,7 @@ def make_session(cores: int):
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
-            os.environ.get("BENCH_ARROW_BATCH", "8"),
+            os.environ.get("BENCH_ARROW_BATCH") or _arrow_default(),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "12g"))
         .config(
@@ -173,8 +180,7 @@ def _pinned_extract(cores: int, partitions: int, cpu_list: str,
         "taskset", "-c", cpu_list, sys.executable, os.path.abspath(__file__),
         "--extract-run", str(cores), str(partitions), corpus or SCALED_CORPUS,
     ]
-    env = dict(os.environ)
-    env.setdefault("BENCH_ARROW_BATCH", "8")
+    env = dict(os.environ)  # SMARTREADER_ARROW_BATCH/BENCH_ARROW_BATCH pass through
     # shuffle spill on tmpfs: removes shared-cloud-disk I/O variance from
     # the measurement (the corpus scan itself stays page-cached after the
     # warm pass)

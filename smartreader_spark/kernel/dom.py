@@ -75,6 +75,8 @@ _TABLE_CTX_TAGS = frozenset(
 
 # insertion-mode contexts where stray content is foster-parented
 _TABLE_CONTEXTS = frozenset(["table", "tbody", "thead", "tfoot", "tr"])
+# table-whitespace placement probe (see _flush_text): keep|foster|drop
+_TABLE_WS_MODE = os.environ.get("SMARTREADER_TABLE_WS", "keep")
 _ALLOWED_IN_TABLE = _TABLE_CTX_TAGS | frozenset(
     ["script", "style", "template", "form", "input", "table"]
 )
@@ -527,12 +529,27 @@ class _TreeBuilder(HTMLParser):
             # stray text before body -> open body
             self._ensure_body()
             cur = self._cur()
-        if cur.tag in _TABLE_CONTEXTS and data.strip():
-            # non-whitespace character tokens in a table context are
-            # foster-parented before the table (HTML5 'in table text')
-            tn = TextNode(data)
-            if self._foster_parent(tn):
-                return
+        if cur.tag in _TABLE_CONTEXTS:
+            if data.strip():
+                # non-whitespace character tokens in a table context are
+                # foster-parented before the table (HTML5 'in table text')
+                tn = TextNode(data)
+                if self._foster_parent(tn):
+                    return
+            elif _TABLE_WS_MODE != "keep":
+                # whitespace-only runs: HTML5/AngleSharp insert into the
+                # current (table) node — our default ('keep'). The env
+                # switch is a PARITY.md falsification probe for the
+                # lwn-1/yahoo-2 residual: 'foster' moves the run before
+                # the table, 'drop' discards it (old-parser behaviors).
+                # Result (round 3): all three modes produce byte-identical
+                # extractions on both fixtures — hypothesis falsified.
+                if _TABLE_WS_MODE == "foster":
+                    tn = TextNode(data)
+                    if self._foster_parent(tn):
+                        return
+                elif _TABLE_WS_MODE == "drop":
+                    return
         kids = cur.child_nodes
         if kids and kids[-1].node_type == Node.TEXT:
             kids[-1].data += data  # type: ignore[attr-defined]

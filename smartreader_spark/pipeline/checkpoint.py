@@ -47,6 +47,33 @@ def load_ledger(spark: SparkSession, output_path: str) -> DataFrame | None:
     return None
 
 
+def read_extracted(spark: SparkSession, output_path: str) -> DataFrame:
+    """Canonical read of the extraction output: exactly one row per doc_id.
+
+    The retry policy (load_ledger excludes errored docs from the ledger)
+    means a document that errored in run K and succeeded in run K+1 has
+    TWO rows in the output, under different run_id= partitions. On
+    Iceberg the write path is MERGE INTO (sources/io.write_ledgered), so
+    the duplicate never exists; on the plain-parquet emulation this
+    reader collapses it — error-free row preferred, then the latest run.
+
+    Cost note for 100-TB reads: the window shuffles on doc_id. Pay it
+    only when retries actually happened (any lineage row with errors >
+    0); a clean history has no duplicates and the table can be read
+    directly."""
+    from pyspark.sql.window import Window
+
+    df = spark.read.parquet(output_path)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("error").isNotNull().cast("int"), F.col("run_id").desc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
 def lineage_metrics(extracted: DataFrame, key: "F.Column | None" = None) -> DataFrame:
     """Per-partition lineage + metrics aggregation — runs as a second,
     cheap aggregation over the extraction output (map-side partial agg;
@@ -84,7 +111,13 @@ def run_resumable_extraction(
 ) -> dict:
     """One resumable extraction job: anti-join → extract → append data +
     lineage. Returns a summary dict. Idempotent across restarts: rerunning
-    after a crash extracts only the documents missing from the output."""
+    after a crash extracts only the documents missing from the output.
+
+    Duplicate-row consequence of the retry policy: a doc that errored in
+    an earlier run and succeeded on retry has BOTH rows in the raw
+    output (append-only parquet). Consumers must read through
+    `read_extracted` (error-free row wins, then latest run) or filter
+    `error IS NULL`; on Iceberg the MERGE-INTO path upserts instead."""
     from .extract import extract_articles
 
     run_id = run_id or f"run-{time.time_ns()}"

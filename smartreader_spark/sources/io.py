@@ -46,9 +46,30 @@ def write_articles(df: DataFrame, target: str, mode: str = "append") -> None:
         df.write.mode(mode).parquet(target)
 
 
+def merge_upsert_sql(target: str, source_view: str, key: str = "doc_id") -> str:
+    """The upsert statement `write_ledgered` runs on an Iceberg target:
+    retried docs REPLACE their earlier (errored) row instead of appending
+    a duplicate — Iceberg executes this as a copy-on-write/merge-on-read
+    row-level operation under snapshot isolation. Split out as a pure
+    builder so the statement's plan shape is testable without the
+    runtime jar (tests/test_plans.py::test_iceberg_merge_plan_shape)."""
+    return (
+        f"MERGE INTO {target} t USING {source_view} s ON t.{key} = s.{key} "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
 def write_ledgered(df: DataFrame, target: str) -> None:
-    """Idempotent-by-doc_id write used by the resume loop. On Iceberg this
-    would be MERGE INTO (upsert by doc_id); the parquet emulation relies
+    """Idempotent-by-doc_id write used by the resume loop. On an Iceberg
+    table identifier: MERGE INTO (upsert by doc_id) so a retry replaces
+    the errored row. On a parquet path: append — idempotence then relies
     on the caller anti-joining against the ledger first
-    (pipeline.checkpoint.remaining_input)."""
-    write_articles(df, target, mode="append")
+    (pipeline.checkpoint.remaining_input) and readers collapsing retry
+    duplicates (pipeline.checkpoint.read_extracted)."""
+    if "/" not in target:
+        view = "_smartreader_upsert_src"
+        df.createOrReplaceTempView(view)
+        df.sparkSession.sql(merge_upsert_sql(target, view))
+    else:
+        write_articles(df, target, mode="append")

@@ -141,6 +141,44 @@ def test_resume_skips_done_docs(spark, corpus):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_read_extracted_collapses_retry_duplicates(spark):
+    """The retry policy leaves both the errored row and the retried clean
+    row in the append-only output; the canonical reader keeps exactly one
+    row per doc_id, preferring error-free then latest run."""
+    from smartreader_spark.pipeline.checkpoint import read_extracted
+
+    tmp = tempfile.mkdtemp(prefix="smartreader_reread_")
+    out_path = os.path.join(tmp, "out.parquet")
+    try:
+        rows = [
+            # doc 1: errored in run-a, retried clean in run-b → keep run-b
+            (1, None, "boom", "run-a"),
+            (1, "fixed text", None, "run-b"),
+            # doc 2: clean twice (crash between write and ledger read is
+            # the only path here) → keep the LATEST run
+            (2, "old", None, "run-a"),
+            (2, "new", None, "run-b"),
+            # doc 3: still erroring after retry → keep latest errored row
+            (3, None, "boom1", "run-a"),
+            (3, None, "boom2", "run-b"),
+            # doc 4: single clean row passes through
+            (4, "only", None, "run-a"),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, error string, run_id string"
+        )
+        df.write.mode("overwrite").partitionBy("run_id").parquet(out_path)
+
+        got = {r.doc_id: r for r in read_extracted(spark, out_path).collect()}
+        assert len(got) == 4
+        assert got[1].error is None and got[1].text == "fixed text"
+        assert got[2].text == "new"
+        assert got[3].error == "boom2"
+        assert got[4].text == "only"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_language_hook_ships_through_spark_options(spark, corpus):
     """Options hooks (Article.cs plug points) must survive the closure
     pickle into executors: language_identification overrides the metadata
