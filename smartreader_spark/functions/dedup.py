@@ -72,32 +72,45 @@ def _shingle_table(docs: DataFrame) -> DataFrame:
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str,
                              threshold: float = 0.4,
-                             n_planes: int = 4) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, scale-shaped:
+                             n_planes: int = 4,
+                             exact: bool = False) -> DataFrame:
+    """APPROXIMATE embedding-cosine near-duplicate pairs: only pairs whose
+    embeddings share an SRP (sign-random-projection) bucket are candidates
+    — an above-threshold pair split by a sign flip on any plane is NOT
+    returned (the standard LSH recall/cost trade; fewer planes → higher
+    recall, more candidates). Pass ``exact=True`` for the all-pairs exact
+    semantics — correct at any threshold but O(n²): a small-corpus /
+    recall-audit tool, not a 100-TB path.
 
-    1. candidate generation — sign-random-projection bucket id (same
-       deterministic md5-derived hyperplanes as similarity._srp_bucket),
-       self EQUI-join on the bucket: Spark shuffles (bucket, vec_id,
-       embedding) and hash/sort-merge-joins; no cross product anywhere in
-       the plan (asserted in tests/test_plans.py).
+    Scale shape of the default:
+
+    1. candidate generation — SRP bucket id (same deterministic
+       md5-derived hyperplanes as similarity._srp_bucket), self EQUI-join
+       on the bucket: Spark shuffles (bucket, vec_id, embedding) and
+       hash/sort-merge-joins; no cross product anywhere in the plan
+       (asserted in tests/test_plans.py).
     2. verify — exact cosine on candidates only, JVM-side higher-order
        functions.
 
-    LSH semantics: only same-bucket pairs are candidates (the standard
-    recall/cost trade; more planes → fewer, more-similar candidates). The
-    bucket formula is SQL-reproducible, so the DuckDB oracle states the
-    exact same candidate set."""
+    The bucket formula is SQL-reproducible, so the DuckDB oracle states
+    the exact same candidate set."""
     from .similarity import _srp_bucket, cosine
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
-    ).withColumn("bucket", _srp_bucket(F.col("embedding"), n_planes))
-    a = emb.select("bucket", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select("bucket", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    )
+    if exact:
+        a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+        b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+        joined = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    else:
+        emb = emb.withColumn("bucket", _srp_bucket(F.col("embedding"), n_planes))
+        a = emb.select("bucket", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+        b = emb.select("bucket", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+        joined = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
     return (
-        a.join(b, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        joined
         .withColumn("cosine", F.round(cosine(F.col("ea"), F.col("eb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")

@@ -287,3 +287,22 @@ def test_simhash_bucket_cap_bounds_degenerate_corpus(spark):
         assert all(r.bucket_n >= 10_000 for r in over)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_embedding_exact_mode_is_recall_superset(spark):
+    """exact=True returns ALL above-threshold pairs (O(n²) audit tool);
+    the default SRP-bucketed mode must be a subset of it at the same
+    threshold, with identical cosines on the shared pairs."""
+    from smartreader_spark.functions.dedup import embedding_near_dup_pairs
+
+    approx = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in embedding_near_dup_pairs(spark, SF, threshold=0.3).collect()
+    }
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in embedding_near_dup_pairs(spark, SF, threshold=0.3, exact=True).collect()
+    }
+    assert set(approx) <= set(exact)
+    assert all(exact[k] == v for k, v in approx.items())
+    assert len(exact) >= 1
