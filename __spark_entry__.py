@@ -145,6 +145,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("bucket")
         )
 
+    def pdf_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """PDF/layout-parse leg (north_rule): the deterministic synthetic
+        PDF corpus (sources/pdf_corpus.py — no external data) through the
+        kernel/pdfkit.py parser via mapInPandas, flattened to one row per
+        interleaved span. Oracled against the committed expected table
+        (tools/build_expected.py), like extract_*."""
+        from smartreader_spark.pipeline.pdf_ingest import pdf_to_span_table
+        from smartreader_spark.sources.pdf_corpus import pdf_corpus_rows
+
+        df = spark.createDataFrame(pdf_corpus_rows(8), "doc_id long, pdf binary")
+        out = pdf_to_span_table(df, num_partitions=2)
+        return (
+            out.select("doc_id", F.posexplode("spans").alias("seq", "s"))
+            .select(
+                "doc_id",
+                "seq",
+                F.col("s.kind").alias("kind"),
+                F.col("s.text").alias("text"),
+                F.col("s.media_ref").alias("media_ref"),
+            )
+            .orderBy("doc_id", "seq")
+        )
+
     def span_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Span-tier ops: posexplode → re-sort → ordered concat identity
         check over the fixture corpus (DataFrame-tier, rows-only)."""
@@ -296,6 +319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_corpus": extract_corpus,
         "extract_testdata": extract_testdata,
         "extract_metrics_rollup": extract_metrics_rollup,
+        "pdf_spans": pdf_spans,
         "span_reassembly": span_reassembly,
         "media_spans": media_spans,
         "multimodal_image_features": multimodal_image_features,
@@ -352,6 +376,7 @@ _BPE_PAT_SQL = _bpe_pat_sql()
 _CORPUS_PQ = f"{_REPO}/fixtures/corpus.parquet/*.parquet"
 _EXPECTED_CORPUS_PQ = f"{_REPO}/fixtures/expected_extract_corpus.parquet"
 _EXPECTED_TESTDATA_PQ = f"{_REPO}/fixtures/expected_extract_testdata_sf001.parquet"
+_EXPECTED_PDF_SPANS_PQ = f"{_REPO}/fixtures/expected_pdf_spans.parquet"
 
 # the interleaved-media projection of the fixture corpus (mirrors
 # functions.multimodal.media_table_from_spans)
@@ -654,6 +679,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, title, reading_time_sec, is_readable, n_spans
             FROM read_parquet('{_EXPECTED_TESTDATA_PQ}')
             ORDER BY doc_id
+        """,
+        "pdf_spans": f"""
+            SELECT doc_id, seq, kind, text, media_ref
+            FROM read_parquet('{_EXPECTED_PDF_SPANS_PQ}')
+            ORDER BY doc_id, seq
         """,
         "extract_metrics_rollup": f"""
             SELECT ('0x' || substr(md5(doc_id), 1, 2))::INT % 8 AS bucket,

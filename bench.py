@@ -51,6 +51,7 @@ REPLICAS = int(os.environ.get("BENCH_REPLICAS", "16"))
 SCALED_CORPUS = f"/tmp/smartreader_bench_corpus_x{REPLICAS}.parquet"
 
 ANALYTICAL = [
+    "pdf_spans",
     "agg_pushdown",
     "broadcast_join_topn",
     "window_running_value",

@@ -1,0 +1,443 @@
+"""Minimal pure-Python PDF layout parser → interleaved spans.
+
+The north rule's extraction tier is "HTML boilerplate strip, PDF/layout
+parse, DOM heuristics" over ONE table of interleaved text+media spans.
+This module is the PDF leg: it turns a PDF byte blob into the same
+``(kind, text, media_ref, offset)`` span sequence the HTML kernel emits
+(serializer.py), so PDF documents land in the same Iceberg/parquet table
+and every downstream operator (dedup, textqa, similarity, extraction
+metrics) works on them unchanged.
+
+No PDF library exists in this environment, so the parser is built from
+the file format up (PDF 32000-1:2008): object scanning without an xref
+table (linear `N 0 obj … endobj` scan — robust to broken xrefs, which is
+also how real-world repair tools walk damaged files), FlateDecode via
+stdlib zlib, a content-stream tokenizer (strings with escapes/nesting,
+hex strings, arrays, names, numbers, operators), and a small text-state
+machine (BT/ET, Tf, Td/TD/Tm/T*, Tj/'/"/TJ) that reconstructs reading
+order and line/word breaks from the layout coordinates.
+
+Scope (honestly bounded — each limit documented where enforced):
+* FlateDecode and raw streams; other filters (DCT, LZW, ...) are kept as
+  opaque media where applicable and skipped for text.
+* Standard single-byte text encodings (latin-1 superset); CID/Type0
+  composite fonts show as replacement text (no embedded-CMap decoding).
+* Page resources: inline ``/Resources <<…>>`` or an indirect reference;
+  XObject images resolve through them to media spans at their point of
+  use (mirrors the HTML kernel's img spans).
+
+Layout heuristics (the "layout parse" of the north rule):
+* a show op whose baseline drops by more than 0.3×font-size starts a new
+  line; a drop of more than 1.8×font-size starts a new PARAGRAPH (a new
+  text span — mirrors the HTML kernel's one-span-per-block shape);
+* within a line, a forward x-gap greater than 0.3×font-size inserts a
+  single space (word boundary recovery from kerned TJ arrays);
+* pages are processed in document order; each page's blocks in stream
+  order (top-down for generated/simple PDFs).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+__all__ = ["pdf_to_spans", "PdfParseError"]
+
+
+class PdfParseError(Exception):
+    """Unparseable PDF container (not a valid header / no objects)."""
+
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)\bendobj", re.DOTALL)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_NAME_NUM = re.compile(rb"/([A-Za-z0-9_.#-]+)\s+(\d+)\s+\d+\s+R")
+
+# paragraph / line / word-gap thresholds in font-size units (see module
+# docstring); tuned on the synthetic corpus, stated once here
+_LINE_DROP = 0.3
+_PARA_DROP = 1.8
+_WORD_GAP = 0.3
+
+
+def _dict_src(body: bytes) -> bytes:
+    """The object's top-level dictionary source (up to the stream)."""
+    s = body.find(b"stream")
+    return body[:s] if s >= 0 else body
+
+
+class _Obj:
+    __slots__ = ("num", "dict_src", "stream")
+
+    def __init__(self, num: int, dict_src: bytes, stream: bytes | None):
+        self.num = num
+        self.dict_src = dict_src
+        self.stream = stream
+
+
+def _scan_objects(data: bytes) -> dict[int, _Obj]:
+    objs: dict[int, _Obj] = {}
+    for m in _OBJ_RE.finditer(data):
+        num = int(m.group(1))
+        body = m.group(3)
+        sm = _STREAM_RE.search(body)
+        stream = sm.group(1) if sm else None
+        objs[num] = _Obj(num, _dict_src(body), stream)
+    return objs
+
+
+def _decoded_stream(obj: _Obj) -> bytes | None:
+    if obj.stream is None:
+        return None
+    if b"/FlateDecode" in obj.dict_src:
+        try:
+            return zlib.decompress(obj.stream)
+        except zlib.error:
+            return None  # corrupt deflate: skip, never crash the batch
+    if b"/Filter" in obj.dict_src:
+        return None  # non-Flate filter: opaque (see module scope)
+    return obj.stream
+
+
+def _resolve(objs: dict[int, _Obj], src: bytes, key: bytes) -> bytes:
+    """Value source for /key in a dict source; follows ONE indirect ref
+    level (enough for /Resources N 0 R — documented scope)."""
+    m = re.search(rb"/" + key + rb"\b\s*(.*)", src, re.DOTALL)
+    if not m:
+        return b""
+    rest = m.group(1)
+    rm = re.match(rb"(\d+)\s+\d+\s+R", rest)
+    if rm:
+        ref = objs.get(int(rm.group(1)))
+        return ref.dict_src if ref else b""
+    if rest.startswith(b"<<"):
+        # balanced << >> extraction
+        depth = 0
+        for i in range(0, len(rest) - 1):
+            if rest[i : i + 2] == b"<<":
+                depth += 1
+            elif rest[i : i + 2] == b">>":
+                depth -= 1
+                if depth == 0:
+                    return rest[: i + 2]
+        return rest
+    return rest.split(b"/", 1)[0]
+
+
+def _page_objects(objs: dict[int, _Obj]) -> list[_Obj]:
+    pages = [o for o in objs.values()
+             if re.search(rb"/Type\s*/Page\b", o.dict_src)]
+    return sorted(pages, key=lambda o: o.num)  # document order for
+    # generated/simple PDFs; a /Kids walk would be needed for reordered
+    # page trees (documented scope)
+
+
+def _page_xobjects(objs: dict[int, _Obj], page: _Obj) -> dict[bytes, int]:
+    """name → object number of the page's XObject images."""
+    res = _resolve(objs, page.dict_src, b"Resources")
+    xsrc = _resolve(objs, res, b"XObject") if res else b""
+    out: dict[bytes, int] = {}
+    for m in _NAME_NUM.finditer(xsrc):
+        out[m.group(1)] = int(m.group(2))
+    return out
+
+
+def _page_content(objs: dict[int, _Obj], page: _Obj) -> bytes:
+    m = re.search(rb"/Contents\b\s*(.*)", page.dict_src, re.DOTALL)
+    if not m:
+        return b""
+    rest = m.group(1)
+    parts: list[bytes] = []
+    am = re.match(rb"\[(.*?)\]", rest, re.DOTALL)
+    refs = _REF_RE.finditer(am.group(1)) if am else _REF_RE.finditer(rest)
+    for rm in refs:
+        o = objs.get(int(rm.group(1)))
+        if o is not None:
+            dec = _decoded_stream(o)
+            if dec:
+                parts.append(dec)
+        if not am:
+            break  # single ref
+    return b"\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# content-stream tokenizer
+# ---------------------------------------------------------------------------
+
+_PDF_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\x08", b"f": b"\x0c",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _read_string(data: bytes, i: int) -> tuple[bytes, int]:
+    """Parse a ( ) string starting at the '('. Handles escapes, octal and
+    balanced nested parens per the spec."""
+    out = bytearray()
+    depth = 1
+    i += 1
+    n = len(data)
+    while i < n and depth:
+        c = data[i : i + 1]
+        if c == b"\\":
+            nxt = data[i + 1 : i + 2]
+            if nxt in _PDF_ESCAPES:
+                out += _PDF_ESCAPES[nxt]
+                i += 2
+            elif nxt.isdigit():
+                j = i + 1
+                while j < min(i + 4, n) and data[j : j + 1].isdigit():
+                    j += 1
+                out.append(int(data[i + 1 : j], 8) & 0xFF)
+                i = j
+            elif nxt in (b"\n", b"\r"):
+                i += 2  # line continuation
+            else:
+                i += 1
+        elif c == b"(":
+            depth += 1
+            out += c
+            i += 1
+        elif c == b")":
+            depth -= 1
+            if depth:
+                out += c
+            i += 1
+        else:
+            out += c
+            i += 1
+    return bytes(out), i
+
+
+_NUM_RE = re.compile(rb"[-+]?\d*\.?\d+")
+_OP_RE = re.compile(rb"[A-Za-z'\"*]{1,3}")
+_NAME_RE = re.compile(rb"/([^\s/<>\[\]()]*)")
+
+
+def _tokens(data: bytes):
+    """Yield ('num', float) | ('str', bytes) | ('name', bytes) |
+    ('op', bytes) | ('arr_open'/'arr_close', None)."""
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i : i + 1]
+        if c in b" \t\r\n\x00":
+            i += 1
+        elif c == b"(":
+            s, i = _read_string(data, i)
+            yield ("str", s)
+        elif c == b"<" and data[i + 1 : i + 2] == b"<":
+            # inline dict (e.g. BDC property lists): skip balanced
+            depth, i = 0, i
+            while i < n:
+                if data[i : i + 2] == b"<<":
+                    depth += 1
+                    i += 2
+                elif data[i : i + 2] == b">>":
+                    depth -= 1
+                    i += 2
+                    if not depth:
+                        break
+                else:
+                    i += 1
+        elif c == b"<":
+            j = data.find(b">", i)
+            j = n if j < 0 else j
+            hexs = re.sub(rb"\s", b"", data[i + 1 : j])
+            if len(hexs) % 2:
+                hexs += b"0"
+            try:
+                yield ("str", bytes.fromhex(hexs.decode("ascii")))
+            except ValueError:
+                pass
+            i = j + 1
+        elif c == b"[":
+            yield ("arr_open", None)
+            i += 1
+        elif c == b"]":
+            yield ("arr_close", None)
+            i += 1
+        elif c == b"/":
+            m = _NAME_RE.match(data, i)
+            yield ("name", m.group(1))
+            i = m.end()
+        else:
+            m = _NUM_RE.match(data, i)
+            if m:
+                yield ("num", float(m.group()))
+                i = m.end()
+                continue
+            m = _OP_RE.match(data, i)
+            if m:
+                yield ("op", m.group())
+                i = m.end()
+            else:
+                i += 1  # junk byte: skip
+
+
+def _decode_text(raw: bytes) -> str:
+    """Single-byte standard encodings ≈ latin-1 (module scope); UTF-16BE
+    BOM strings (some ToUnicode-less producers) decoded as such."""
+    if raw[:2] == b"\xfe\xff":
+        try:
+            return raw[2:].decode("utf-16-be")
+        except UnicodeDecodeError:
+            pass
+    return raw.decode("latin-1")
+
+
+# ---------------------------------------------------------------------------
+# text-state machine → spans
+# ---------------------------------------------------------------------------
+
+class _PageText:
+    """Accumulates show-text ops into paragraph blocks using the layout
+    thresholds in the module docstring."""
+
+    def __init__(self):
+        self.blocks: list[str] = []
+        self._cur: list[str] = []
+        self._x = self._y = None  # last show position
+        self._size = 12.0
+
+    def set_size(self, size: float) -> None:
+        if size > 0:
+            self._size = size
+
+    def show(self, text: str, x: float, y: float) -> None:
+        if not text:
+            return
+        if self._y is not None:
+            drop = self._y - y
+            if drop > self._size * _PARA_DROP:
+                self._flush()
+            elif drop > self._size * _LINE_DROP or drop < -self._size * _LINE_DROP:
+                if self._cur and not self._cur[-1].endswith(" "):
+                    self._cur.append(" ")  # line break → single space
+            elif x - self._x > self._size * _WORD_GAP and self._cur \
+                    and not self._cur[-1].endswith(" ") and not text.startswith(" "):
+                self._cur.append(" ")
+        self._cur.append(text)
+        self._x = x + len(text) * self._size * 0.5  # advance estimate
+        self._y = y
+
+    def _flush(self) -> None:
+        block = "".join(self._cur).strip()
+        if block:
+            self.blocks.append(block)
+        self._cur = []
+
+    def done(self) -> list[str]:
+        self._flush()
+        return self.blocks
+
+
+def _run_content(content: bytes, images: dict[bytes, int],
+                 page_no: int, spans: list[dict]) -> None:
+    pt = _PageText()
+    stack: list = []   # operand stack
+    arr: list | None = None
+    # text state: tm = (a,b,c,d,e,f) text matrix; we track e,f (+ leading)
+    x = y = 0.0
+    lx = ly = 0.0      # line start
+    size = 12.0
+    leading = 0.0
+
+    def emit_blocks():
+        for block in pt.done():
+            spans.append({"kind": "text", "text": block,
+                          "media_ref": None, "page": page_no})
+
+    for kind, val in _tokens(content):
+        if kind == "arr_open":
+            arr = []
+            continue
+        if kind == "arr_close":
+            stack.append(arr if arr is not None else [])
+            arr = None
+            continue
+        if arr is not None and kind in ("num", "str", "name"):
+            arr.append((kind, val))
+            continue
+        if kind in ("num", "str", "name"):
+            stack.append((kind, val))
+            continue
+
+        op = val
+        try:
+            if op == b"BT":
+                x = y = lx = ly = 0.0
+            elif op == b"Tf" and len(stack) >= 2 and stack[-1][0] == "num":
+                size = stack[-1][1]
+                pt.set_size(size)
+                if leading == 0.0:
+                    leading = size * 1.2
+            elif op in (b"Td", b"TD") and len(stack) >= 2:
+                tx, ty = stack[-2][1], stack[-1][1]
+                if op == b"TD":
+                    leading = -ty if ty else leading
+                lx, ly = lx + tx, ly + ty
+                x, y = lx, ly
+            elif op == b"Tm" and len(stack) >= 6:
+                lx, ly = stack[-2][1], stack[-1][1]
+                x, y = lx, ly
+                sz = abs(stack[-6][1]) or 1.0
+                pt.set_size(sz * size if sz != 1.0 else size)
+            elif op == b"TL" and stack:
+                leading = stack[-1][1]
+            elif op == b"T*":
+                ly -= leading or size * 1.2
+                lx, x, y = lx, lx, ly
+            elif op == b"Tj" and stack and stack[-1][0] == "str":
+                pt.show(_decode_text(stack[-1][1]), x, y)
+            elif op in (b"'", b'"'):
+                ly -= leading or size * 1.2
+                x, y = lx, ly
+                if stack and stack[-1][0] == "str":
+                    pt.show(_decode_text(stack[-1][1]), x, y)
+            elif op == b"TJ" and stack and isinstance(stack[-1], list):
+                buf = []
+                for k2, v2 in stack[-1]:
+                    if k2 == "str":
+                        buf.append(_decode_text(v2))
+                    elif k2 == "num" and v2 < -1000 * _WORD_GAP:
+                        # TJ adjustments are thousandths of an em (already
+                        # font-size-relative): < -300 ⇒ a word gap
+                        buf.append(" ")
+                pt.show("".join(buf), x, y)
+            elif op == b"Do" and stack and stack[-1][0] == "name":
+                objnum = images.get(stack[-1][1])
+                if objnum is not None:
+                    # image at its point of use: flush text first so the
+                    # interleaving order matches the visual order
+                    emit_blocks()
+                    pt.__init__()
+                    spans.append({
+                        "kind": "img", "text": None,
+                        "media_ref": f"pdfobj:{objnum}", "page": page_no,
+                    })
+        finally:
+            if op not in (b"(",):
+                stack = []
+    emit_blocks()
+
+
+def pdf_to_spans(pdf_bytes: bytes) -> list[dict]:
+    """PDF blob → ordered interleaved spans, same shape as the HTML
+    kernel's output: ``[{kind, text, media_ref, offset}]`` with
+    kind ∈ {text, img}. Raises PdfParseError for non-PDF input."""
+    if not pdf_bytes.startswith(b"%PDF-"):
+        raise PdfParseError("missing %PDF- header")
+    objs = _scan_objects(pdf_bytes)
+    if not objs:
+        raise PdfParseError("no objects found")
+    spans: list[dict] = []
+    for page_no, page in enumerate(_page_objects(objs)):
+        content = _page_content(objs, page)
+        if not content:
+            continue
+        _run_content(content, _page_xobjects(objs, page), page_no, spans)
+    for i, s in enumerate(spans):
+        s["offset"] = i
+        s.pop("page", None)
+    return spans

@@ -1,0 +1,90 @@
+"""PDF layout-parse leg (kernel/pdfkit.py + pipeline/pdf_ingest.py):
+writer↔parser round trip, layout heuristics, error paths, and the Spark
+operator emitting the interleaved-span input shape."""
+
+import pytest
+
+from smartreader_spark.kernel.pdfkit import PdfParseError, pdf_to_spans
+from smartreader_spark.sources.pdf_corpus import make_pdf, pdf_corpus_rows
+
+
+def test_round_trip_interleaving_and_layout():
+    spans = pdf_to_spans(make_pdf(0))
+    kinds = [s["kind"] for s in spans]
+    # title block, merged 3-line paragraph, image AT ITS POINT OF USE,
+    # closing paragraph, page-2 paragraph
+    assert kinds == ["text", "text", "img", "text", "text"]
+    assert spans[0]["text"].startswith("Document 0:")
+    # the three Td/T* lines merge into ONE block with single spaces
+    assert "(doc 0, line 1). " in spans[1]["text"]
+    assert "(doc 0, line 3)." in spans[1]["text"]
+    assert "\n" not in spans[1]["text"]
+    assert spans[2]["media_ref"] == "pdfobj:8"
+    # octal escape, parens escape, hex string all decoded
+    assert "\xe9" in spans[3]["text"] and "(parens)" in spans[3]["text"]
+    assert spans[4]["text"].endswith("Hex line of doc 0")
+    # offsets are the span order
+    assert [s["offset"] for s in spans] == list(range(5))
+
+
+def test_flate_and_tj_kerning_variant():
+    # odd docs: page-1 stream is FlateDecode + line 1 shown via TJ with a
+    # -400 kern that must come back as a word gap
+    spans = pdf_to_spans(make_pdf(1))
+    assert [s["kind"] for s in spans] == ["text", "text", "img", "text", "text"]
+    assert spans[1]["text"].startswith("Boilerplate removal")
+
+
+def test_determinism_and_corpus():
+    rows = pdf_corpus_rows(4)
+    assert [r[0] for r in rows] == [100000, 100001, 100002, 100003]
+    assert rows[2][1] == make_pdf(2)
+    # every doc parses to the same 5-span shape
+    for _, blob in rows:
+        assert len(pdf_to_spans(blob)) == 5
+
+
+def test_error_paths():
+    with pytest.raises(PdfParseError):
+        pdf_to_spans(b"not a pdf at all")
+    with pytest.raises(PdfParseError):
+        pdf_to_spans(b"%PDF-1.4\njunk with no objects")
+    # corrupt deflate body: the stream is skipped, never a crash
+    blob = bytearray(make_pdf(1))
+    i = blob.find(b"/FlateDecode")
+    s = blob.find(b"stream\n", i) + len(b"stream\n")
+    blob[s : s + 8] = b"\x00" * 8
+    spans = pdf_to_spans(bytes(blob))
+    assert all(s["kind"] in ("text", "img") for s in spans)
+
+
+def test_spark_pdf_ingest(spark_session=None):
+    from pyspark.sql import SparkSession
+
+    from smartreader_spark.pipeline.pdf_ingest import pdf_to_span_table
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("smartreader-pdf-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    df = spark.createDataFrame(pdf_corpus_rows(6), "doc_id long, pdf binary")
+    out = pdf_to_span_table(df, num_partitions=2)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 6
+    assert all(r.error is None for r in rows.values())
+    assert all(len(r.spans) == 5 for r in rows.values())
+    r0 = rows[100000]
+    assert r0.spans[2].kind == "img" and r0.spans[2].media_ref == "pdfobj:8"
+    assert r0.spans[0].text.startswith("Document 0:")
+    # the operator output IS the input-table shape: the HTML extraction
+    # pipeline's reassembly + downstream ops accept it directly
+    assert [f.name for f in out.schema["spans"].dataType.elementType.fields] == [
+        "kind", "text", "media_ref", "offset"
+    ]
+    # a broken blob degrades to an error row, not a task failure
+    bad = spark.createDataFrame([(1, bytearray(b"nope"))], "doc_id long, pdf binary")
+    er = pdf_to_span_table(bad).collect()[0]
+    assert er.error is not None and er.spans == []

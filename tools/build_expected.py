@@ -99,6 +99,29 @@ def extract_testdata_rows() -> list[dict]:
     return rows
 
 
+def pdf_spans_rows() -> list[dict]:
+    """Expected flat spans for the deterministic synthetic PDF corpus
+    (sources/pdf_corpus.py, 8 docs) parsed by the same kernel the Spark
+    operator ships (kernel/pdfkit.py) — gates the distributed pipeline
+    (binary Arrow batching, schema, partitioning), like extract_*."""
+    from smartreader_spark.kernel.pdfkit import pdf_to_spans
+    from smartreader_spark.sources.pdf_corpus import pdf_corpus_rows
+
+    rows = []
+    for doc_id, blob in pdf_corpus_rows(8):
+        for s in pdf_to_spans(blob):
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "seq": s["offset"],
+                    "kind": s["kind"],
+                    "text": s["text"],
+                    "media_ref": s["media_ref"],
+                }
+            )
+    return rows
+
+
 def write(rows: list[dict], path: str, schema: pa.schema) -> None:
     table = pa.Table.from_pylist(rows, schema=schema)
     pq.write_table(table, path)
@@ -134,6 +157,19 @@ def main() -> None:
                 ("reading_time_sec", pa.int32()),
                 ("is_readable", pa.bool_()),
                 ("n_spans", pa.int32()),
+            ]
+        ),
+    )
+    write(
+        pdf_spans_rows(),
+        os.path.join(REPO, "fixtures", "expected_pdf_spans.parquet"),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("seq", pa.int32()),
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
             ]
         ),
     )
