@@ -493,6 +493,11 @@ def main() -> None:
         elif "fresh_docs_per_sec@8_small" in report:
             report["scaling_efficiency_2_to_8"] = round(min(eff28, 1.0), 3)
         spark = make_session(CPUS)
+        # pre-warm the worker pool so the suite's first mapInPandas query
+        # (pdf_spans) isn't charged pool creation
+        from smartreader_spark.pipeline.session import warm_python_workers
+
+        warm_python_workers(spark, CPUS)
     else:
         from smartreader_spark.pipeline.session import warm_python_workers
 
