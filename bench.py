@@ -269,17 +269,24 @@ HWM_PATH = os.environ.get("BENCH_HWM_PATH", "/tmp/smartreader_bench_hwm.json")
 
 
 def _code_fingerprint() -> str:
+    """Hash of the code whose performance the hwm certifies: the HTML
+    extraction path (kernel minus the PDF leg + the pipeline modules the
+    extraction job imports). Scoped this way because the marks are
+    extraction-throughput/efficiency measurements — edits to unrelated
+    modules (PDF parser, dedup, streaming) cannot change those numbers,
+    so they must not discard genuine measurements of unchanged code."""
     import hashlib
 
+    pkg = os.path.join(os.path.dirname(os.path.abspath(__file__)), "smartreader_spark")
     h = hashlib.sha256()
-    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "smartreader_spark")
-    for dirpath, _, files in sorted(os.walk(root)):
-        for fn in sorted(files):
-            if fn.endswith(".py"):
-                p = os.path.join(dirpath, fn)
-                h.update(fn.encode())
-                with open(p, "rb") as f:
-                    h.update(f.read())
+    for rel_dir, excluded in (("kernel", {"pdfkit.py"}), ("pipeline", {"pdf_ingest.py"})):
+        root = os.path.join(pkg, rel_dir)
+        for dirpath, _, files in sorted(os.walk(root)):
+            for fn in sorted(files):
+                if fn.endswith(".py") and fn not in excluded:
+                    h.update(fn.encode())
+                    with open(os.path.join(dirpath, fn), "rb") as f:
+                        h.update(f.read())
     h.update(f"replicas={REPLICAS}".encode())
     return h.hexdigest()[:16]
 

@@ -185,9 +185,9 @@ def _read_string(data: bytes, i: int) -> tuple[bytes, int]:
             if nxt in _PDF_ESCAPES:
                 out += _PDF_ESCAPES[nxt]
                 i += 2
-            elif nxt.isdigit():
+            elif nxt in b"01234567":
                 j = i + 1
-                while j < min(i + 4, n) and data[j : j + 1].isdigit():
+                while j < min(i + 4, n) and data[j : j + 1] in b"01234567":
                     j += 1
                 out.append(int(data[i + 1 : j], 8) & 0xFF)
                 i = j
@@ -364,6 +364,10 @@ def _run_content(content: bytes, images: dict[bytes, int],
             continue
 
         op = val
+        # each operator handled tolerantly: malformed operand stacks
+        # (wrong types/arity — rampant in real-world PDFs) skip the op
+        # instead of crashing the parse; the finally clears operands
+        # exactly like a conforming reader consuming them
         try:
             if op == b"BT":
                 x = y = lx = ly = 0.0
@@ -416,6 +420,8 @@ def _run_content(content: bytes, images: dict[bytes, int],
                         "kind": "img", "text": None,
                         "media_ref": f"pdfobj:{objnum}", "page": page_no,
                     })
+        except Exception:
+            pass  # malformed operands: skip the op (see comment above)
         finally:
             if op not in (b"(",):
                 stack = []

@@ -57,6 +57,9 @@ def _pdf_batch(batches):
                 recs.append((doc_id, spans, len(raw), None))
             except PdfParseError as e:
                 recs.append((doc_id, [], len(raw), str(e)))
+            except Exception as e:  # noqa: BLE001 — at 100 TB one
+                # pathological blob must cost one error row, not the task
+                recs.append((doc_id, [], len(raw), f"pdf crash: {e!r:.200}"))
         yield pd.DataFrame(recs, columns=["doc_id", "spans", "n_pdf_bytes", "error"])
 
 

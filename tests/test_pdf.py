@@ -88,3 +88,54 @@ def test_spark_pdf_ingest(spark_session=None):
     bad = spark.createDataFrame([(1, bytearray(b"nope"))], "doc_id long, pdf binary")
     er = pdf_to_span_table(bad).collect()[0]
     assert er.error is not None and er.spans == []
+
+
+def test_pdfkit_fuzz_never_crashes():
+    """Malformed containers/content streams must yield PdfParseError or a
+    (possibly empty) span list — never any other exception: at scale one
+    pathological blob must not kill a task (pdf_ingest also guards)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=300))
+    def inner(blob):
+        for payload in (blob, b"%PDF-1.4\n" + blob):
+            try:
+                spans = pdf_to_spans(payload)
+            except PdfParseError:
+                continue
+            assert isinstance(spans, list)
+
+    inner()
+
+
+def test_pdfkit_fuzz_structured_chunks():
+    """Fuzz with PDF-shaped fragments so object/stream/content machinery
+    actually executes (pure-random bytes rarely reach it)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    chunks = st.lists(
+        st.sampled_from([
+            b"1 0 obj", b"endobj", b"<< /Type /Page /Contents 2 0 R >>",
+            b"<< /Type /Pages >>", b"stream\n", b"\nendstream",
+            b"BT", b"ET", b"(text)", b"(esc \\351 \\9 \\( )", b"<48656c",
+            b"Tj", b"TJ", b"'", b"Td", b"TD", b"Tm", b"T*", b"Tf", b"Do",
+            b"[", b"]", b"1 2", b"/F1", b"/Im1", b"-400", b"<<", b">>",
+            b"/Filter /FlateDecode", b"2 0 R", b"%PDF-1.4",
+        ]),
+        max_size=25,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(chunks)
+    def inner(parts):
+        payload = b"%PDF-1.4\n" + b" ".join(parts)
+        try:
+            spans = pdf_to_spans(payload)
+        except PdfParseError:
+            return
+        assert isinstance(spans, list)
+
+    inner()
