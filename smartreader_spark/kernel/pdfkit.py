@@ -75,14 +75,37 @@ class _Obj:
         self.stream = stream
 
 
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+
+
 def _scan_objects(data: bytes) -> dict[int, _Obj]:
     objs: dict[int, _Obj] = {}
     for m in _OBJ_RE.finditer(data):
         num = int(m.group(1))
         body = m.group(3)
-        sm = _STREAM_RE.search(body)
-        stream = sm.group(1) if sm else None
-        objs[num] = _Obj(num, _dict_src(body), stream)
+        dict_src = _dict_src(body)
+        stream = None
+        s = body.find(b"stream")
+        if s >= 0:
+            # stream body starts after the keyword's EOL (spec: CRLF or LF)
+            p = s + 6
+            if body[p : p + 2] == b"\r\n":
+                p += 2
+            elif body[p : p + 1] in (b"\n", b"\r"):
+                p += 1
+            # prefer a direct /Length slice: the regex delimiter
+            # (\r?\nendstream) swallows a payload's trailing 0x0D byte,
+            # corrupting ~1/256 of Flate streams — only trust the regex
+            # when Length is absent or provably wrong
+            lm = _LENGTH_RE.search(dict_src)
+            if lm:
+                ln = int(lm.group(1))
+                if re.match(rb"[\r\n \t]*endstream", body[p + ln : p + ln + 16]):
+                    stream = body[p : p + ln]
+            if stream is None:
+                sm = _STREAM_RE.search(body)
+                stream = sm.group(1) if sm else None
+        objs[num] = _Obj(num, dict_src, stream)
     return objs
 
 
@@ -182,10 +205,14 @@ def _read_string(data: bytes, i: int) -> tuple[bytes, int]:
         c = data[i : i + 1]
         if c == b"\\":
             nxt = data[i + 1 : i + 2]
-            if nxt in _PDF_ESCAPES:
+            # every branch requires a non-empty nxt: a lone backslash at
+            # end-of-data must fall through to the bare skip (b"" is "in"
+            # any bytes literal, so the octal test would otherwise call
+            # int(b"", 8))
+            if nxt and nxt in _PDF_ESCAPES:
                 out += _PDF_ESCAPES[nxt]
                 i += 2
-            elif nxt in b"01234567":
+            elif nxt and nxt in b"01234567":
                 j = i + 1
                 while j < min(i + 4, n) and data[j : j + 1] in b"01234567":
                     j += 1

@@ -39,8 +39,12 @@ def read_documents(spark: SparkSession, source: str,
 
 def write_articles(df: DataFrame, target: str, mode: str = "append") -> None:
     """Append extraction output. On Iceberg: snapshot-isolated append
-    (safe concurrent with readers); on parquet: directory append."""
-    if "/" not in target:
+    (safe concurrent with readers); on parquet: directory append.
+    Mirrors the read path's routing: a '/'-less target is only treated
+    as an Iceberg identifier when the runtime is actually loadable —
+    otherwise (e.g. a relative parquet filename, or Iceberg-without-jar)
+    it falls back to a parquet write instead of failing analysis."""
+    if "/" not in target and _iceberg_available(df.sparkSession):
         df.writeTo(target).append()
     else:
         df.write.mode(mode).parquet(target)
@@ -67,7 +71,7 @@ def write_ledgered(df: DataFrame, target: str) -> None:
     on the caller anti-joining against the ledger first
     (pipeline.checkpoint.remaining_input) and readers collapsing retry
     duplicates (pipeline.checkpoint.read_extracted)."""
-    if "/" not in target:
+    if "/" not in target and _iceberg_available(df.sparkSession):
         view = "_smartreader_upsert_src"
         df.createOrReplaceTempView(view)
         df.sparkSession.sql(merge_upsert_sql(target, view))

@@ -90,6 +90,46 @@ def test_spark_pdf_ingest(spark_session=None):
     assert er.error is not None and er.spans == []
 
 
+def test_string_trailing_backslash_and_cr_tail_stream():
+    """ADVICE r3 hardening: (1) a ( ) string ending in a lone backslash at
+    end-of-data must not escape as a bare ValueError (b'' is 'in' any bytes
+    literal, so the octal branch would call int(b'', 8)); (2) a Flate
+    stream whose compressed payload ends in 0x0D must be sliced by /Length
+    — the \\r?\\nendstream regex delimiter swallows that byte and kills
+    decompression for ~1/256 of streams."""
+    import zlib
+
+    content = b"BT /F1 12 Tf 10 700 Td (abc\\"
+    pdf = (
+        b"%PDF-1.4\n1 0 obj << /Type /Page /Contents 2 0 R >> endobj\n"
+        b"2 0 obj << /Length " + str(len(content)).encode() + b" >> stream\n"
+        + content + b"\nendstream endobj\n"
+    )
+    spans = pdf_to_spans(pdf)  # must not raise anything but PdfParseError
+    assert isinstance(spans, list)
+
+    # the zlib trailer's last byte is adler32's s1 = (1 + byte-sum) & 0xff;
+    # pad with '!' (33, odd → coprime with 256) to sweep every residue and
+    # deterministically land a 0x0D-final compressed stream
+    comp = None
+    for pad in range(256):
+        raw = b"BT /F1 12 Tf 10 700 Td (cr tail " + b"!" * pad + b") Tj ET"
+        c = zlib.compress(raw)
+        if c.endswith(b"\r"):
+            comp = c
+            break
+    assert comp is not None, "no CR-tail deflate found in 256 tries"
+    body = (
+        b"%PDF-1.4\n1 0 obj << /Type /Page /Contents 2 0 R >> endobj\n"
+        b"2 0 obj << /Length " + str(len(comp)).encode()
+        + b" /Filter /FlateDecode >> stream\n" + comp + b"\nendstream endobj\n"
+    )
+    spans = pdf_to_spans(body)
+    assert any(
+        s["kind"] == "text" and s["text"].startswith("cr tail") for s in spans
+    ), spans
+
+
 def test_pdfkit_fuzz_never_crashes():
     """Malformed containers/content streams must yield PdfParseError or a
     (possibly empty) span list — never any other exception: at scale one
