@@ -33,25 +33,10 @@ if _REPO not in sys.path:
 
 def _docs_as_span_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wrap the driver's plain-text documents into one-span interleaved
-    docs (kind='html') — built-ins only, so the scan + wrap stays JVM-side."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    html = F.concat(
-        F.lit("<html><head><title>doc "),
-        F.col("doc_id").cast("string"),
-        F.lit('</title></head><body><article><p>'),
-        F.col("text"),
-        F.lit("</p></article></body></html>"),
-    )
-    span = F.struct(
-        F.lit("html").alias("kind"),
-        html.alias("text"),
-        F.lit(None).cast("string").alias("media_ref"),
-        F.lit(0).alias("offset"),
-    )
-    return docs.select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        F.array(span).alias("spans"),
-    )
+    docs (kind='html') — see pipeline.corpus.wrap_plain_documents."""
+    from smartreader_spark.pipeline.corpus import wrap_plain_documents
+
+    return wrap_plain_documents(spark, sf_dir)
 
 
 def _fixture_corpus(spark: SparkSession) -> DataFrame:
@@ -312,11 +297,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "media_ref", "frame_idx"
         )
 
+    from smartreader_spark.pipeline.training import (
+        training_funnel,
+        training_pipeline,
+    )
+
     return {
         # extraction kernel tier — oracled against committed expected
         # tables produced by tools/build_expected.py (the kernel itself is
         # grounded by the 142-fixture golden harness)
         "extract_corpus": extract_corpus,
+        # the composed end-to-end training-data job (north_rule shape):
+        # extract (HTML ∪ PDF) → exact dedup → simhash near-dup → quality
+        # → token counts, plus its funnel/lineage view
+        "pipeline_end_to_end": training_pipeline,
+        "pipeline_funnel": training_funnel,
         "extract_testdata": extract_testdata,
         "extract_metrics_rollup": extract_metrics_rollup,
         "pdf_spans": pdf_spans,
@@ -377,6 +372,73 @@ _CORPUS_PQ = f"{_REPO}/fixtures/corpus.parquet/*.parquet"
 _EXPECTED_CORPUS_PQ = f"{_REPO}/fixtures/expected_extract_corpus.parquet"
 _EXPECTED_TESTDATA_PQ = f"{_REPO}/fixtures/expected_extract_testdata_sf001.parquet"
 _EXPECTED_PDF_SPANS_PQ = f"{_REPO}/fixtures/expected_pdf_spans.parquet"
+_EXPECTED_PIPELINE_PQ = f"{_REPO}/fixtures/expected_pipeline_docs.parquet"
+
+
+def _pipeline_ctes(en_sw: str) -> str:
+    """Shared CTE chain for the composed-pipeline oracles: the unified
+    doc table comes from the committed expected table (both extraction
+    legs through the kernel, tools/build_expected.py::pipeline_docs_rows);
+    every DOWNSTREAM stage — exact dedup window, 60-bit simhash banding +
+    skew valve + hamming verify, near-dup loser drop, quality gate, token
+    counts — is restated in SQL, so the gate verifies the composition."""
+    bits = ", ".join(
+        f"sum(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    sig = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END" for i in range(60)
+    )
+    return f"""
+      docs AS (
+        SELECT doc_id, source, text FROM read_parquet('{_EXPECTED_PIPELINE_PQ}')
+      ), fps AS (
+        SELECT doc_id, source, text, md5({_NORM}) AS fp,
+               row_number() OVER (PARTITION BY md5({_NORM}) ORDER BY doc_id) AS rn
+        FROM docs
+      ), kept AS (
+        SELECT doc_id, source, text, fp FROM fps WHERE rn = 1
+      ), ptoks AS (
+        SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM kept
+      ), ph AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM ptoks
+      ), pbits AS (
+        SELECT doc_id, {bits} FROM ph GROUP BY doc_id
+      ), psigs AS (
+        SELECT doc_id, ({sig})::BIGINT AS simhash FROM pbits
+      ), pbanded AS (
+        SELECT doc_id, simhash, band, (simhash >> (band * 10)) & 1023 AS bandbits
+        FROM psigs, (SELECT unnest(range(0, 6))::INT AS band) b
+      ), psmall AS (
+        SELECT band, bandbits FROM pbanded
+        GROUP BY band, bandbits HAVING count(*) <= {_SIMHASH_MAX_BUCKET}
+      ), pbig AS (
+        SELECT band, bandbits, count(*) AS bucket_n FROM pbanded
+        GROUP BY band, bandbits HAVING count(*) > {_SIMHASH_MAX_BUCKET}
+      ), ppairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM pbanded a
+        JOIN psmall s ON a.band = s.band AND a.bandbits = s.bandbits
+        JOIN pbanded b ON a.band = b.band AND a.bandbits = b.bandbits
+                      AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      ), puniq AS (
+        SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_b FROM ppairs)
+      ), pq AS (
+        SELECT doc_id, source, fp,
+               length(text) AS n_chars,
+               len({_TOKS}) AS n_tokens,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords_est,
+               round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+                     / greatest(length(text), 1), 6) AS punct_ratio,
+               round(len(list_filter({_TOKS}, x -> x IN ({en_sw})))::DOUBLE
+                     / greatest(len({_TOKS}), 1), 6) AS stopword_ratio,
+               (length(text) >= 100 AND len({_TOKS}) >= 20
+                AND length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+                    / greatest(length(text), 1) < 0.1) AS ok
+        FROM puniq
+      )
+    """
 
 # the interleaved-media projection of the fixture corpus (mirrors
 # functions.multimodal.media_table_from_spans)
@@ -417,6 +479,24 @@ def oracle_sql() -> dict[str, str]:
     }
 
     return {
+        "pipeline_end_to_end": f"""
+            WITH {_pipeline_ctes(en_sw)}
+            SELECT doc_id, source, fp, n_chars, n_tokens, n_subwords_est,
+                   punct_ratio, stopword_ratio
+            FROM pq WHERE ok
+            ORDER BY doc_id
+        """,
+        "pipeline_funnel": f"""
+            WITH {_pipeline_ctes(en_sw)}
+            SELECT stage, n_rows FROM (
+              SELECT '00_extracted' AS stage, count(*) AS n_rows FROM docs
+              UNION ALL SELECT '10_exact_deduped', count(*) FROM kept
+              UNION ALL SELECT '15_near_dup_pairs', count(*) FROM ppairs
+              UNION ALL SELECT '16_simhash_dropped_buckets', count(*) FROM pbig
+              UNION ALL SELECT '20_near_deduped', count(*) FROM puniq
+              UNION ALL SELECT '30_quality_passed', count(*) FROM pq WHERE ok
+            ) ORDER BY stage
+        """,
         "agg_pushdown": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

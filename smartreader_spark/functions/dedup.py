@@ -246,11 +246,23 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str,
     candidate rows). The documented trade: identical-doc floods are the
     job of the *exact* dedup stage that runs before simhash, so the
     dropped pairs are ones exact dedup already collapsed; audit what was
-    dropped with ``simhash_oversized_buckets``. The count table is at
-    most 6·1024 rows, so the cap costs one broadcast join, never a
-    shuffle. Pass ``max_bucket_size=None`` to disable."""
-    sigs = _simhash_wide(spark, sf_dir, n_bits=60)
-    banded = sigs.withColumn(
+    dropped with ``simhash_oversized_buckets`` — the composed pipeline
+    (pipeline/training.py) surfaces that count as a funnel row so the
+    recall trade is observable in the primary path (ADVICE r3). The count
+    table is at most 6·1024 rows, so the cap costs one broadcast join,
+    never a shuffle. Pass ``max_bucket_size=None`` to disable."""
+    docs = _load_documents(spark, sf_dir).select("doc_id", "text")
+    return simhash_pairs_for_docs(
+        docs, max_hamming=max_hamming, max_bucket_size=max_bucket_size
+    )
+
+
+def simhash_banded_for_docs(docs: DataFrame) -> DataFrame:
+    """60-bit simhash per doc exploded into 6 × 10-bit band keys —
+    the shared candidate-generation table for pair mining and the
+    oversized-bucket audit. `docs` needs (doc_id, text)."""
+    sigs = simhash_wide_signatures(docs, n_bits=60)
+    return sigs.withColumn(
         "band", F.explode(F.sequence(F.lit(0), F.lit(5)))
     ).select(
         "doc_id",
@@ -260,6 +272,14 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str,
         # for the column-valued band shift
         F.expr("shiftright(simhash, band * 10) & 1023").alias("bandbits"),
     )
+
+
+def simhash_pairs_for_docs(docs: DataFrame, max_hamming: int = 3,
+                           max_bucket_size: int | None = SIMHASH_MAX_BUCKET) -> DataFrame:
+    """DataFrame-level core of `simhash_near_dup_pairs` (same semantics,
+    same scale shape) over any (doc_id, text) input — used standalone and
+    as the near-dup stage of the composed training pipeline."""
+    banded = simhash_banded_for_docs(docs)
     if max_bucket_size is not None:
         small = (
             banded.groupBy("band", "bandbits")
@@ -292,12 +312,14 @@ def simhash_oversized_buckets(spark: SparkSession, sf_dir: str,
     """Audit companion to `simhash_near_dup_pairs`: the (band, bandbits,
     bucket_n) buckets the skew valve dropped — record it alongside the
     dedup run's lineage so the recall trade is observable, not silent."""
-    sigs = _simhash_wide(spark, sf_dir, n_bits=60)
-    banded = sigs.withColumn(
-        "band", F.explode(F.sequence(F.lit(0), F.lit(5)))
-    ).select(
-        "band", F.expr("shiftright(simhash, band * 10) & 1023").alias("bandbits")
-    )
+    docs = _load_documents(spark, sf_dir).select("doc_id", "text")
+    return oversized_buckets_for_docs(docs, max_bucket_size=max_bucket_size)
+
+
+def oversized_buckets_for_docs(docs: DataFrame,
+                               max_bucket_size: int = SIMHASH_MAX_BUCKET) -> DataFrame:
+    """DataFrame-level core of `simhash_oversized_buckets`."""
+    banded = simhash_banded_for_docs(docs)
     return (
         banded.groupBy("band", "bandbits")
         .agg(F.count("*").alias("bucket_n"))
@@ -307,9 +329,14 @@ def simhash_oversized_buckets(spark: SparkSession, sf_dir: str,
 
 
 def _simhash_wide(spark: SparkSession, sf_dir: str, n_bits: int = 60) -> DataFrame:
-    """n-bit SimHash per document (same construction as
-    simhash_signatures, wider hash prefix: ceil(n/4) md5 hex chars)."""
     docs = _load_documents(spark, sf_dir).select("doc_id", "text")
+    return simhash_wide_signatures(docs, n_bits=n_bits)
+
+
+def simhash_wide_signatures(docs: DataFrame, n_bits: int = 60) -> DataFrame:
+    """n-bit SimHash per document (same construction as
+    simhash_signatures, wider hash prefix: ceil(n/4) md5 hex chars).
+    `docs` needs (doc_id, text)."""
     n_hex = (n_bits + 3) // 4
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok")

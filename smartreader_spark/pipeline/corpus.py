@@ -54,6 +54,31 @@ def load_corpus(spark: SparkSession, path: str = DEFAULT_CORPUS_DIR) -> DataFram
     return spark.read.parquet(path)
 
 
+def wrap_plain_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap the driver's plain-text `documents` table into one-span
+    interleaved docs (kind='html') — built-ins only, so the scan + wrap
+    stays JVM-side. Mirrored byte-for-byte by
+    tools/build_expected.py::extract_testdata_rows."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    html = F.concat(
+        F.lit("<html><head><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title></head><body><article><p>"),
+        F.col("text"),
+        F.lit("</p></article></body></html>"),
+    )
+    span = F.struct(
+        F.lit("html").alias("kind"),
+        html.alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(span).alias("spans"),
+    )
+
+
 def scale_corpus(df: DataFrame, replicas: int) -> DataFrame:
     """Replicate each document `replicas` times with re-keyed doc_ids —
     distributed (explode of a range literal; no driver materialization),

@@ -1,0 +1,235 @@
+"""The composed end-to-end training-data pipeline (the north_rule's job).
+
+One job shape, the one a 100-TB run would submit:
+
+    scan → extract (HTML leg ∪ PDF leg, both landing in the ONE
+    interleaved span table — SURVEY.md §1.2 invariant) → exact dedup →
+    simhash near-dup filter → quality filter → token counts,
+    with a funnel/lineage view that records what every stage kept,
+    dropped, and — for the simhash skew valve — what it refused to
+    compare (ADVICE r3: the recall trade must be observable in the
+    primary path).
+
+Every stage is an already-oracled operator (pipeline/extract.py,
+pipeline/pdf_ingest.py, functions/dedup.py, functions/textqa.py);
+this module proves them COMPOSED, with one materialization barrier and
+one extraction pass, as a single driver-gated query
+(`pipeline_end_to_end` + `pipeline_funnel` in __spark_entry__).
+
+Scale notes (local[32] here; 1000 executors is the design point):
+
+* The unified doc table is cached after extraction
+  (`spark.storage`-backed here; at 100 TB this is the write of the
+  extracted span table to Iceberg — a storage barrier, NOT a driver
+  collect). Everything downstream branches off that one materialization,
+  so the expensive mapInPandas extraction executes exactly once even
+  though dedup's self-joins consume the table multiple times.
+* Exact dedup is a window (row_number over fp) — one hash shuffle on a
+  fixed-width digest; no self-join, no recompute.
+* The near-dup stage reuses functions.dedup.simhash_pairs_for_docs:
+  banded equi-join on (band, 10-bit bandbits), skew-valved, verified by
+  bit_count — the scale-correct candidate-generation shape.
+* The loser set (larger member of each near-dup pair) is tiny relative
+  to the corpus → broadcast left-anti join.
+* Quality + token counting are pure projections (codegen, no shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.dedup import (
+    SIMHASH_MAX_BUCKET,
+    oversized_buckets_for_docs,
+    simhash_pairs_for_docs,
+)
+from ..functions.textqa import STOPWORDS
+from .corpus import wrap_plain_documents
+from .extract import extract_articles
+from .pdf_ingest import pdf_to_span_table
+
+#: paragraph joiner between a document's text spans (mirrored by
+#: tools/build_expected.py::pipeline_docs_rows)
+TEXT_JOIN = "\n\n"
+
+#: number of synthetic PDF docs unioned into the gate-sized pipeline run
+PDF_DOCS = 8
+
+
+def doc_text_expr():
+    """Ordered concat of a document's *text* spans with a paragraph
+    joiner — pure built-in expressions (JVM-side; same codegen shape as
+    pipeline.extract.reassemble_html_expr, which it extends with the
+    kind filter)."""
+    return F.concat_ws(
+        TEXT_JOIN,
+        F.transform(
+            F.filter(
+                F.array_sort(
+                    F.transform(
+                        "spans",
+                        lambda s: F.struct(
+                            s["offset"].alias("o"),
+                            s["kind"].alias("k"),
+                            s["text"].alias("t"),
+                        ),
+                    )
+                ),
+                lambda s: s["k"] == "text",
+            ),
+            lambda s: s["t"],
+        ),
+    )
+
+
+def _norm(col):
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def unified_doc_table(spark: SparkSession, sf_dir: str,
+                      num_partitions: int = 8) -> DataFrame:
+    """Both extraction legs → one (doc_id, source, text) table.
+
+    HTML leg: the driver's `documents` table wrapped as interleaved
+    span docs → kernel extraction via Arrow-batched mapInPandas.
+    PDF leg: the deterministic synthetic PDF corpus
+    (sources/pdf_corpus.py — no external data) → kernel/pdfkit.py via
+    mapInPandas over binary batches.
+
+    Errored or empty-extraction documents are dropped here (they are
+    the retry ledger's job, pipeline/checkpoint.py — not training
+    data)."""
+    from ..sources.pdf_corpus import pdf_corpus_rows
+
+    html = (
+        extract_articles(
+            wrap_plain_documents(spark, sf_dir), num_partitions=num_partitions
+        )
+        .filter(F.col("error").isNull())
+        .select(
+            F.col("doc_id"),
+            F.lit("html").alias("source"),
+            doc_text_expr().alias("text"),
+        )
+    )
+    pdf = (
+        pdf_to_span_table(
+            spark.createDataFrame(
+                pdf_corpus_rows(PDF_DOCS), "doc_id long, pdf binary"
+            ),
+            num_partitions=2,
+        )
+        .filter(F.col("error").isNull())
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.lit("pdf").alias("source"),
+            doc_text_expr().alias("text"),
+        )
+    )
+    return html.unionByName(pdf).filter(F.length("text") > 0)
+
+
+def _stages(spark: SparkSession, sf_dir: str,
+            max_hamming: int = 3) -> dict[str, DataFrame]:
+    """Build every stage DataFrame once; `pipeline_end_to_end` returns
+    the survivors, `pipeline_funnel` the per-stage lineage counts."""
+    docs = unified_doc_table(spark, sf_dir).cache()  # ONE extraction pass;
+    # at 100 TB this cache is the Iceberg write of the extracted table
+
+    # stage 1 — exact dedup: window on the content digest (single hash
+    # shuffle on a fixed-width key; min-doc_id keeper, deterministic)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = (
+        docs.withColumn("fp", F.md5(_norm(F.col("text"))))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .cache()
+    )
+
+    # stage 2 — simhash near-dup: drop the LARGER member of every
+    # (hamming ≤ max_hamming) pair; keep-smallest is the same greedy
+    # deterministic rule as the exact stage's min-doc_id keeper
+    pairs = simhash_pairs_for_docs(
+        kept.select("doc_id", "text"), max_hamming=max_hamming
+    )
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    uniq = kept.join(F.broadcast(losers), "doc_id", "left_anti")
+
+    # stage 3 — quality gate + token counts (pure projections; same
+    # heuristics family as functions.textqa.quality_scores/token_counts)
+    toks = F.split(_norm(F.col("text")), " ")
+    n_toks = F.size(toks)
+    en_sw = F.array([F.lit(s) for s in STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(en_sw, t)))
+    punct = F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?]", ""))
+    final = (
+        uniq.withColumn("n_chars", F.length("text"))
+        .withColumn("n_tokens", n_toks)
+        .withColumn(
+            "punct_ratio",
+            F.round(punct / F.greatest(F.length("text"), F.lit(1)), 6),
+        )
+        .withColumn(
+            "stopword_ratio", F.round(stop_hits / F.greatest(n_toks, F.lit(1)), 6)
+        )
+        .withColumn(
+            "n_subwords_est", F.ceil(F.length("text") / 4).cast("long")
+        )
+        .filter(
+            (F.col("n_chars") >= 100)
+            & (F.col("n_tokens") >= 20)
+            & (punct / F.greatest(F.length("text"), F.lit(1)) < 0.1)
+        )
+    )
+    dropped = oversized_buckets_for_docs(
+        kept.select("doc_id", "text"), max_bucket_size=SIMHASH_MAX_BUCKET
+    )
+    return {
+        "docs": docs,
+        "kept": kept,
+        "pairs": pairs,
+        "uniq": uniq,
+        "final": final,
+        "dropped_buckets": dropped,
+    }
+
+
+def training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The surviving training documents with their fingerprints and
+    token/quality stats — the end-to-end composed query."""
+    final = _stages(spark, sf_dir)["final"]
+    return final.select(
+        "doc_id",
+        "source",
+        "fp",
+        "n_chars",
+        "n_tokens",
+        "n_subwords_est",
+        "punct_ratio",
+        "stopword_ratio",
+    ).orderBy("doc_id")
+
+
+def training_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage lineage of the same run: what each stage kept plus the
+    near-dup pair volume and — per ADVICE r3 — the simhash skew valve's
+    dropped-bucket count, so recall loss is observable, never silent."""
+    s = _stages(spark, sf_dir)
+    rows = [
+        ("00_extracted", s["docs"]),
+        ("10_exact_deduped", s["kept"]),
+        ("15_near_dup_pairs", s["pairs"]),
+        ("16_simhash_dropped_buckets", s["dropped_buckets"]),
+        ("20_near_deduped", s["uniq"]),
+        ("30_quality_passed", s["final"]),
+    ]
+    out = None
+    for stage, df in rows:
+        c = df.agg(F.count("*").alias("n_rows")).select(
+            F.lit(stage).alias("stage"), "n_rows"
+        )
+        out = c if out is None else out.unionByName(c)
+    return out.orderBy("stage")

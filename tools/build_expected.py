@@ -122,6 +122,49 @@ def pdf_spans_rows() -> list[dict]:
     return rows
 
 
+def pipeline_docs_rows() -> list[dict]:
+    """Expected unified (doc_id, source, text) table for the composed
+    training pipeline (pipeline/training.py::unified_doc_table): both
+    extraction legs run through the SAME kernel the Spark operators ship,
+    with the same error/empty filtering and the same ordered text-span
+    concat (TEXT_JOIN). The downstream dedup/quality/token stages are
+    restated directly in the oracle SQL over this table, so the gate
+    verifies the composition end-to-end."""
+    from smartreader_spark.kernel.pdfkit import pdf_to_spans
+    from smartreader_spark.kernel.reader import extract_html
+    from smartreader_spark.pipeline.training import PDF_DOCS, TEXT_JOIN
+    from smartreader_spark.sources.pdf_corpus import pdf_corpus_rows
+
+    def doc_text(spans) -> str:
+        parts = sorted(spans, key=lambda s: s["offset"])
+        return TEXT_JOIN.join(
+            s["text"] for s in parts
+            if s["kind"] == "text" and s["text"] is not None
+        )
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id::VARCHAR, text FROM read_parquet('{SF001}/documents.parquet') ORDER BY doc_id::BIGINT"
+    ).fetchall()
+    rows = []
+    for doc_id, text in docs:
+        html = (
+            f"<html><head><title>doc {doc_id}</title></head>"
+            f"<body><article><p>{text}</p></article></body></html>"
+        )
+        r = extract_html(html)
+        if r["error"] is not None:
+            continue
+        t = doc_text(r["spans"])
+        if t:
+            rows.append({"doc_id": doc_id, "source": "html", "text": t})
+    for doc_id, blob in pdf_corpus_rows(PDF_DOCS):
+        t = doc_text(pdf_to_spans(blob))
+        if t:
+            rows.append({"doc_id": str(doc_id), "source": "pdf", "text": t})
+    return rows
+
+
 def write(rows: list[dict], path: str, schema: pa.schema) -> None:
     table = pa.Table.from_pylist(rows, schema=schema)
     pq.write_table(table, path)
@@ -157,6 +200,17 @@ def main() -> None:
                 ("reading_time_sec", pa.int32()),
                 ("is_readable", pa.bool_()),
                 ("n_spans", pa.int32()),
+            ]
+        ),
+    )
+    write(
+        pipeline_docs_rows(),
+        os.path.join(REPO, "fixtures", "expected_pipeline_docs.parquet"),
+        pa.schema(
+            [
+                ("doc_id", pa.string()),
+                ("source", pa.string()),
+                ("text", pa.string()),
             ]
         ),
     )
