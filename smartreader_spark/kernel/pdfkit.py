@@ -20,8 +20,13 @@ order and line/word breaks from the layout coordinates.
 Scope (honestly bounded — each limit documented where enforced):
 * FlateDecode and raw streams; other filters (DCT, LZW, ...) are kept as
   opaque media where applicable and skipped for text.
-* Standard single-byte text encodings (latin-1 superset); CID/Type0
-  composite fonts show as replacement text (no embedded-CMap decoding).
+* Simple fonts decode as standard single-byte encodings (latin-1
+  superset). Composite (Type0/Identity-H) fonts — the dominant encoding
+  in real-world corpora — decode their 2-byte CIDs through the embedded
+  /ToUnicode CMap (bfchar + both bfrange forms, §9.10.3); CIDs without a
+  mapping (or Type0 without a ToUnicode) become U+FFFD, visible rather
+  than silently dropped. Embedded-CMap /Encoding programs beyond
+  Identity-H (rare: legacy CJK without ToUnicode) are out of scope.
 * Page resources: inline ``/Resources <<…>>`` or an indirect reference;
   XObject images resolve through them to media spans at their point of
   use (mirrors the HTML kernel's img spans).
@@ -165,12 +170,124 @@ def _page_xobjects(objs: dict[int, _Obj], page: _Obj) -> dict[bytes, int]:
     return out
 
 
-def _page_content(objs: dict[int, _Obj], page: _Obj) -> bytes:
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_BFPAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_BFRANGE_ROW_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(\[[^\]]*\]|<[0-9A-Fa-f]+>)"
+)
+_HEXGRP_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+# defensive cap on CMap mappings per font: a crafted bfrange like
+# <0000> <FFFFFFFF> must not allocate unbounded memory in a worker
+_CMAP_MAX_ENTRIES = 65536
+
+
+def _utf16_hex(h: bytes) -> str:
+    """<dst> hex group of a bf mapping → Unicode string (UTF-16BE code
+    units per the spec; tolerant of odd-length groups)."""
+    if len(h) % 2:
+        h += b"0"
+    try:
+        return bytes.fromhex(h.decode("ascii")).decode("utf-16-be", "replace")
+    except ValueError:
+        return "�"
+
+
+def _parse_cmap(data: bytes) -> dict[int, str]:
+    """ToUnicode CMap stream → {CID: unicode}. Handles bfchar pairs and
+    bfrange rows in both forms (<lo> <hi> <dstBase> with the final
+    UTF-16 code unit incremented per the spec §9.10.3, and
+    <lo> <hi> [<d0> <d1> …] explicit arrays)."""
+    cmap: dict[int, str] = {}
+    for sec in _BFCHAR_RE.findall(data):
+        for src, dst in _BFPAIR_RE.findall(sec):
+            if len(cmap) >= _CMAP_MAX_ENTRIES:
+                return cmap
+            cmap[int(src, 16)] = _utf16_hex(dst)
+    for sec in _BFRANGE_RE.findall(data):
+        for m in _BFRANGE_ROW_RE.finditer(sec):
+            lo, hi = int(m.group(1), 16), int(m.group(2), 16)
+            hi = min(hi, lo + _CMAP_MAX_ENTRIES)  # bound crafted ranges
+            dst = m.group(3)
+            if dst.startswith(b"["):
+                for k, d in enumerate(_HEXGRP_RE.findall(dst)):
+                    if lo + k > hi or len(cmap) >= _CMAP_MAX_ENTRIES:
+                        break
+                    cmap[lo + k] = _utf16_hex(d)
+            else:
+                base = bytearray()
+                h = dst[1:-1]
+                if len(h) % 2:
+                    h += b"0"
+                try:
+                    base = bytearray(bytes.fromhex(h.decode("ascii")))
+                except ValueError:
+                    continue
+                if len(base) < 2:
+                    base = bytearray(b"\x00") + base
+                for k in range(hi - lo + 1):
+                    if len(cmap) >= _CMAP_MAX_ENTRIES:
+                        return cmap
+                    u = bytearray(base)
+                    last = (u[-2] << 8 | u[-1]) + k
+                    u[-2], u[-1] = (last >> 8) & 0xFF, last & 0xFF
+                    cmap[lo + k] = bytes(u).decode("utf-16-be", "replace")
+    return cmap
+
+
+def _font_decoder(objs: dict[int, _Obj], fobj: _Obj):
+    """bytes → str decoder for one font object. Composite (Type0) fonts
+    decode 2-byte Identity CIDs through the embedded ToUnicode CMap —
+    the dominant encoding in real-world PDF corpora; CIDs without a
+    mapping become U+FFFD (visible, not silently dropped). Simple fonts
+    use the standard single-byte path (_decode_text)."""
+    if not re.search(rb"/Subtype\s*/Type0\b", fobj.dict_src):
+        return _decode_text
+    cmap: dict[int, str] = {}
+    tm = _TOUNICODE_RE.search(fobj.dict_src)
+    if tm:
+        cstream = objs.get(int(tm.group(1)))
+        data = _decoded_stream(cstream) if cstream is not None else None
+        if data:
+            cmap = _parse_cmap(data)
+
+    def decode(raw: bytes, _cmap=cmap) -> str:
+        out = []
+        n = len(raw)
+        for j in range(0, n - 1, 2):
+            out.append(_cmap.get(raw[j] << 8 | raw[j + 1], "�"))
+        if n % 2:
+            out.append("�")  # dangling odd byte of a CID string
+        return "".join(out)
+
+    return decode
+
+
+def _page_fonts(objs: dict[int, _Obj], page: _Obj) -> dict[bytes, object]:
+    """name → decoder for the page's /Font resources."""
+    res = _resolve(objs, page.dict_src, b"Resources")
+    fsrc = _resolve(objs, res, b"Font") if res else b""
+    out: dict[bytes, object] = {}
+    for m in _NAME_NUM.finditer(fsrc):
+        fobj = objs.get(int(m.group(2)))
+        if fobj is not None:
+            out[m.group(1)] = _font_decoder(objs, fobj)
+    return out
+
+
+def _page_content(objs: dict[int, _Obj], page: _Obj) -> tuple[bytes, int]:
+    """(content bytes, n undecodable content streams). The count feeds
+    the per-page degradation diagnostics: a stream that EXISTS but can't
+    decode (corrupt deflate, unsupported filter) is data loss the error
+    taxonomy must surface, distinct from a page with no content."""
     m = re.search(rb"/Contents\b\s*(.*)", page.dict_src, re.DOTALL)
     if not m:
-        return b""
+        return b"", 0
     rest = m.group(1)
     parts: list[bytes] = []
+    failed = 0
     am = re.match(rb"\[(.*?)\]", rest, re.DOTALL)
     refs = _REF_RE.finditer(am.group(1)) if am else _REF_RE.finditer(rest)
     for rm in refs:
@@ -179,9 +296,11 @@ def _page_content(objs: dict[int, _Obj], page: _Obj) -> bytes:
             dec = _decoded_stream(o)
             if dec:
                 parts.append(dec)
+            elif o.stream is not None:
+                failed += 1
         if not am:
             break  # single ref
-    return b"\n".join(parts)
+    return b"\n".join(parts), failed
 
 
 # ---------------------------------------------------------------------------
@@ -360,7 +479,8 @@ class _PageText:
 
 
 def _run_content(content: bytes, images: dict[bytes, int],
-                 page_no: int, spans: list[dict]) -> None:
+                 page_no: int, spans: list[dict],
+                 fonts: dict[bytes, object] | None = None) -> None:
     pt = _PageText()
     stack: list = []   # operand stack
     arr: list | None = None
@@ -369,6 +489,8 @@ def _run_content(content: bytes, images: dict[bytes, int],
     lx = ly = 0.0      # line start
     size = 12.0
     leading = 0.0
+    fonts = fonts or {}
+    decode = _decode_text  # current font's text decoder (Tf switches it)
 
     def emit_blocks():
         for block in pt.done():
@@ -403,6 +525,8 @@ def _run_content(content: bytes, images: dict[bytes, int],
                 pt.set_size(size)
                 if leading == 0.0:
                     leading = size * 1.2
+                if stack[-2][0] == "name":
+                    decode = fonts.get(stack[-2][1], _decode_text)
             elif op in (b"Td", b"TD") and len(stack) >= 2:
                 tx, ty = stack[-2][1], stack[-1][1]
                 if op == b"TD":
@@ -420,17 +544,17 @@ def _run_content(content: bytes, images: dict[bytes, int],
                 ly -= leading or size * 1.2
                 lx, x, y = lx, lx, ly
             elif op == b"Tj" and stack and stack[-1][0] == "str":
-                pt.show(_decode_text(stack[-1][1]), x, y)
+                pt.show(decode(stack[-1][1]), x, y)
             elif op in (b"'", b'"'):
                 ly -= leading or size * 1.2
                 x, y = lx, ly
                 if stack and stack[-1][0] == "str":
-                    pt.show(_decode_text(stack[-1][1]), x, y)
+                    pt.show(decode(stack[-1][1]), x, y)
             elif op == b"TJ" and stack and isinstance(stack[-1], list):
                 buf = []
                 for k2, v2 in stack[-1]:
                     if k2 == "str":
-                        buf.append(_decode_text(v2))
+                        buf.append(decode(v2))
                     elif k2 == "num" and v2 < -1000 * _WORD_GAP:
                         # TJ adjustments are thousandths of an em (already
                         # font-size-relative): < -300 ⇒ a word gap
@@ -455,10 +579,17 @@ def _run_content(content: bytes, images: dict[bytes, int],
     emit_blocks()
 
 
-def pdf_to_spans(pdf_bytes: bytes) -> list[dict]:
+def pdf_to_spans(pdf_bytes: bytes,
+                 diagnostics: list[str] | None = None) -> list[dict]:
     """PDF blob → ordered interleaved spans, same shape as the HTML
     kernel's output: ``[{kind, text, media_ref, offset}]`` with
-    kind ∈ {text, img}. Raises PdfParseError for non-PDF input."""
+    kind ∈ {text, img}. Raises PdfParseError for non-PDF input.
+
+    `diagnostics` (optional caller-owned list): appended with one entry
+    per page whose content streams exist but could not be decoded —
+    PERMANENT per-page degradation (retrying won't help), which the
+    Spark ingest surfaces as the `PdfDegraded:` error class
+    (pipeline/pdf_ingest.py) distinct from container-level failure."""
     if not pdf_bytes.startswith(b"%PDF-"):
         raise PdfParseError("missing %PDF- header")
     objs = _scan_objects(pdf_bytes)
@@ -466,10 +597,15 @@ def pdf_to_spans(pdf_bytes: bytes) -> list[dict]:
         raise PdfParseError("no objects found")
     spans: list[dict] = []
     for page_no, page in enumerate(_page_objects(objs)):
-        content = _page_content(objs, page)
+        content, failed = _page_content(objs, page)
+        if failed and diagnostics is not None:
+            diagnostics.append(
+                f"page {page_no}: {failed} content stream(s) undecodable"
+            )
         if not content:
             continue
-        _run_content(content, _page_xobjects(objs, page), page_no, spans)
+        _run_content(content, _page_xobjects(objs, page), page_no, spans,
+                     fonts=_page_fonts(objs, page))
     for i, s in enumerate(spans):
         s["offset"] = i
         s.pop("page", None)

@@ -40,6 +40,30 @@ PDF_SPANS_SCHEMA = T.StructType(
 )
 
 
+#: error-class taxonomy for the `error` column — lets the resume ledger
+#: distinguish rows a retry can heal from rows it cannot:
+#:   PdfParseError: container-level failure, no spans — PERMANENT
+#:   PdfDegraded:   spans produced but ≥1 page's content undecodable —
+#:                  PERMANENT partial data loss (blob is what it is)
+#:   PdfCrash:      unexpected exception — retryable (may be transient
+#:                  or an engine bug worth a diagnosable row)
+PERMANENT_ERROR_PREFIXES = ("PdfParseError:", "PdfDegraded:")
+
+
+def is_permanent_error():
+    """Boolean Column: rows whose error a resume loop should NOT retry.
+    The pdf leg's ledger predicate is then
+    ``error IS NULL OR is_permanent_error()`` (checkpoint.load_ledger's
+    plain error-IS-NULL policy would retry degraded blobs forever)."""
+    from pyspark.sql import functions as F
+
+    c = F.col("error")
+    cond = F.lit(False)
+    for p in PERMANENT_ERROR_PREFIXES:
+        cond = cond | c.startswith(F.lit(p))
+    return c.isNotNull() & cond
+
+
 def _pdf_batch(batches):
     import pandas as pd
 
@@ -49,17 +73,19 @@ def _pdf_batch(batches):
         recs = []
         for doc_id, blob in zip(pdf["doc_id"], pdf["pdf"]):
             raw = bytes(blob)
+            diags: list[str] = []
             try:
                 spans = [
                     (s["kind"], s["text"], s["media_ref"], s["offset"])
-                    for s in pdf_to_spans(raw)
+                    for s in pdf_to_spans(raw, diagnostics=diags)
                 ]
-                recs.append((doc_id, spans, len(raw), None))
+                err = "PdfDegraded: " + "; ".join(diags) if diags else None
+                recs.append((doc_id, spans, len(raw), err))
             except PdfParseError as e:
-                recs.append((doc_id, [], len(raw), str(e)))
+                recs.append((doc_id, [], len(raw), f"PdfParseError: {e}"))
             except Exception as e:  # noqa: BLE001 — at 100 TB one
                 # pathological blob must cost one error row, not the task
-                recs.append((doc_id, [], len(raw), f"pdf crash: {e!r:.200}"))
+                recs.append((doc_id, [], len(raw), f"PdfCrash: {e!r:.200}"))
         yield pd.DataFrame(recs, columns=["doc_id", "spans", "n_pdf_bytes", "error"])
 
 

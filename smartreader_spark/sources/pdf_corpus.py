@@ -44,11 +44,55 @@ def _stream_obj(num: int, dict_extra: bytes, data: bytes,
     return _obj(num, d)
 
 
+def _type0_assets(i: int) -> tuple[str, bytes, bytes]:
+    """Deterministic Type0/Identity-H page assets: (expected text,
+    ToUnicode CMap program, content stream). The CMap exercises all
+    three mapping forms the parser supports (kernel/pdfkit._parse_cmap):
+    a dst-base bfrange (digits, final code unit incremented), an
+    array-form bfrange, and bfchar pairs — over non-latin-1 characters
+    so the decode path is provably the CMap, not a byte fallback."""
+    text = (
+        f"Unicode page of document {i} — naïve café déjà vu ✓ "
+        f"{_LOREM[(i + 3) % len(_LOREM)]}"
+    )
+    uniq: list[str] = []
+    for ch in text:
+        if not ch.isdigit() and ch not in uniq:
+            uniq.append(ch)
+    arr_chars, chr_chars = uniq[:3], uniq[3:]
+    cid_of = {ch: 0x0041 + k for k, ch in enumerate(arr_chars)}
+    cid_of.update({ch: 0x0100 + k for k, ch in enumerate(chr_chars)})
+    cid_of.update({d: 0x0030 + int(d) for d in "0123456789"})
+
+    def u16(ch: str) -> bytes:
+        return ch.encode("utf-16-be").hex().encode("ascii")
+
+    cids = b"".join(cid_of[ch].to_bytes(2, "big") for ch in text)
+    bfchars = b"\n".join(
+        b"<%04x> <%s>" % (cid_of[ch], u16(ch)) for ch in chr_chars
+    )
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        b"/CMapName /SynthUni def\n"
+        b"1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+        b"1 beginbfrange\n<0030> <0039> <0030>\nendbfrange\n"
+        b"1 beginbfrange\n<0041> <0043> ["
+        + b" ".join(b"<%s>" % u16(ch) for ch in arr_chars)
+        + b"]\nendbfrange\n"
+        + b"%d beginbfchar\n" % len(chr_chars) + bfchars
+        + b"\nendbfchar\nendcmap\nend\nend"
+    )
+    content = b"BT /F2 12 Tf 72 720 Td <" + cids.hex().encode("ascii") + b"> Tj ET\n"
+    return text, cmap, content
+
+
 def make_pdf(doc_idx: int) -> bytes:
-    """One deterministic PDF: 2 pages; page 1 has a title (Tm), two
+    """One deterministic PDF: 3 pages; page 1 has a title (Tm), two
     paragraphs (Td/T* lines, TJ kerning on odd docs), an image between
     them (interleaving!); page 2 one paragraph via ' and an escaped +
-    hex string. Odd doc indexes compress page 1's content stream."""
+    hex string; page 3 a Type0/Identity-H paragraph whose 2-byte CIDs
+    decode through a Flate-compressed embedded ToUnicode CMap. Odd doc
+    indexes compress page 1's content stream."""
     i = doc_idx
     title = f"Document {i}: {_LOREM[i % len(_LOREM)]}"
     para1_lines = [
@@ -78,9 +122,10 @@ def make_pdf(doc_idx: int) -> bytes:
           b"<" + hexline + b"> ' ET\n") % i
 
     img_data = bytes([(i * 7 + k) % 256 for k in range(64)])  # opaque
+    _, cmap, c3 = _type0_assets(i)
     objs = [
         _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
-        _obj(2, b"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>"),
+        _obj(2, b"<< /Type /Pages /Kids [3 0 R 4 0 R 13 0 R] /Count 3 >>"),
         _obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
                 b"/Resources 7 0 R /Contents 5 0 R >>"),
         _obj(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
@@ -92,6 +137,16 @@ def make_pdf(doc_idx: int) -> bytes:
                        b"/ColorSpace /DeviceGray /BitsPerComponent 8 ",
                     img_data, compress=False),
         _obj(9, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+        _obj(10, b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID "
+                 b"/Encoding /Identity-H /DescendantFonts [11 0 R] "
+                 b"/ToUnicode 12 0 R >>"),
+        _obj(11, b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SynthCID "
+                 b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+                 b"/Supplement 0 >> >>"),
+        _stream_obj(12, b"", cmap, compress=True),
+        _obj(13, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                 b"/Resources << /Font << /F2 10 0 R >> >> /Contents 14 0 R >>"),
+        _stream_obj(14, b"", c3, compress=False),
     ]
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = []

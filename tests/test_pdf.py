@@ -12,8 +12,8 @@ def test_round_trip_interleaving_and_layout():
     spans = pdf_to_spans(make_pdf(0))
     kinds = [s["kind"] for s in spans]
     # title block, merged 3-line paragraph, image AT ITS POINT OF USE,
-    # closing paragraph, page-2 paragraph
-    assert kinds == ["text", "text", "img", "text", "text"]
+    # closing paragraph, page-2 paragraph, page-3 Type0 paragraph
+    assert kinds == ["text", "text", "img", "text", "text", "text"]
     assert spans[0]["text"].startswith("Document 0:")
     # the three Td/T* lines merge into ONE block with single spaces
     assert "(doc 0, line 1). " in spans[1]["text"]
@@ -24,14 +24,53 @@ def test_round_trip_interleaving_and_layout():
     assert "\xe9" in spans[3]["text"] and "(parens)" in spans[3]["text"]
     assert spans[4]["text"].endswith("Hex line of doc 0")
     # offsets are the span order
-    assert [s["offset"] for s in spans] == list(range(5))
+    assert [s["offset"] for s in spans] == list(range(6))
+
+
+def test_type0_tounicode_cmap_decode():
+    """The Type0/Identity-H page decodes byte-exactly through the
+    Flate-compressed embedded ToUnicode CMap — all three mapping forms
+    (dst-base bfrange, array bfrange, bfchar) and non-latin-1 chars."""
+    from smartreader_spark.sources.pdf_corpus import _type0_assets
+
+    for i in (0, 1, 5):
+        expected, _, _ = _type0_assets(i)
+        spans = pdf_to_spans(make_pdf(i))
+        assert spans[-1]["text"] == expected
+        assert "✓" in spans[-1]["text"] and "naïve" in spans[-1]["text"]
+
+
+def test_type0_unmapped_and_degenerate_cids():
+    """Unmapped CIDs and dangling odd bytes show as U+FFFD (visible, not
+    dropped); a Type0 font with NO ToUnicode yields all-replacement text
+    rather than mojibake or a crash."""
+    base = (
+        b"%%PDF-1.4\n"
+        b"1 0 obj << /Type /Page /Resources << /Font << /F2 10 0 R >> >> "
+        b"/Contents 2 0 R >> endobj\n"
+        b"10 0 obj << /Type /Font /Subtype /Type0 /Encoding /Identity-H "
+        b"%s >> endobj\n"
+        b"12 0 obj << /Length %d >> stream\n%s\nendstream endobj\n"
+        b"2 0 obj << /Length %d >> stream\n%s\nendstream endobj\n"
+    )
+    cmap = (b"begincmap\n1 beginbfchar\n<0001> <0041>\nendbfchar\nendcmap")
+    # <0001> mapped to 'A'; <0002> unmapped; trailing odd byte 0x03
+    content = b"BT /F2 12 Tf 72 720 Td <0001000203> Tj ET"
+    pdf = base % (b"/ToUnicode 12 0 R", len(cmap), cmap, len(content), content)
+    spans = pdf_to_spans(pdf)
+    assert len(spans) == 1
+    assert spans[0]["text"] == "A��"
+    # no ToUnicode at all → every CID is replacement text
+    pdf2 = base % (b"", len(cmap), cmap, len(content), content)
+    spans2 = pdf_to_spans(pdf2)
+    assert spans2[0]["text"] == "���"
 
 
 def test_flate_and_tj_kerning_variant():
     # odd docs: page-1 stream is FlateDecode + line 1 shown via TJ with a
     # -400 kern that must come back as a word gap
     spans = pdf_to_spans(make_pdf(1))
-    assert [s["kind"] for s in spans] == ["text", "text", "img", "text", "text"]
+    assert [s["kind"] for s in spans] == ["text", "text", "img", "text", "text", "text"]
     assert spans[1]["text"].startswith("Boilerplate removal")
 
 
@@ -41,7 +80,7 @@ def test_determinism_and_corpus():
     assert rows[2][1] == make_pdf(2)
     # every doc parses to the same 5-span shape
     for _, blob in rows:
-        assert len(pdf_to_spans(blob)) == 5
+        assert len(pdf_to_spans(blob)) == 6
 
 
 def test_error_paths():
@@ -75,7 +114,7 @@ def test_spark_pdf_ingest(spark_session=None):
     rows = {r.doc_id: r for r in out.collect()}
     assert len(rows) == 6
     assert all(r.error is None for r in rows.values())
-    assert all(len(r.spans) == 5 for r in rows.values())
+    assert all(len(r.spans) == 6 for r in rows.values())
     r0 = rows[100000]
     assert r0.spans[2].kind == "img" and r0.spans[2].media_ref == "pdfobj:8"
     assert r0.spans[0].text.startswith("Document 0:")
@@ -84,10 +123,25 @@ def test_spark_pdf_ingest(spark_session=None):
     assert [f.name for f in out.schema["spans"].dataType.elementType.fields] == [
         "kind", "text", "media_ref", "offset"
     ]
-    # a broken blob degrades to an error row, not a task failure
-    bad = spark.createDataFrame([(1, bytearray(b"nope"))], "doc_id long, pdf binary")
-    er = pdf_to_span_table(bad).collect()[0]
-    assert er.error is not None and er.spans == []
+    # error taxonomy (pipeline/pdf_ingest.py): container-level failure
+    # vs per-page degradation are distinct PERMANENT classes the resume
+    # ledger can skip; both degrade to rows, never task failures
+    from smartreader_spark.pipeline.pdf_ingest import is_permanent_error
+
+    degraded = bytearray(make_pdf(1))  # corrupt page 1's Flate stream
+    i = degraded.find(b"/FlateDecode")
+    s = degraded.find(b"stream\n", i) + len(b"stream\n")
+    degraded[s : s + 8] = b"\x00" * 8
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"nope")), (2, degraded)], "doc_id long, pdf binary"
+    )
+    out2 = pdf_to_span_table(bad).withColumn("permanent", is_permanent_error())
+    rows2 = {r.doc_id: r for r in out2.collect()}
+    assert rows2[1].error.startswith("PdfParseError:") and rows2[1].spans == []
+    assert rows2[2].error.startswith("PdfDegraded:")
+    assert "page 0" in rows2[2].error
+    assert len(rows2[2].spans) > 0  # surviving pages still extracted
+    assert rows2[1].permanent and rows2[2].permanent
 
 
 def test_string_trailing_backslash_and_cr_tail_stream():
