@@ -153,6 +153,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id", "seq")
         )
 
+    def stream_extract_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The streaming tier under the value oracle: availableNow
+        bounded replay of the fixture corpus through the STREAMING
+        extraction plan (micro-batched file source, exactly-once file
+        sink), compared against the same expected table as the batch
+        extract_corpus query — batch/stream parity, value-hashed."""
+        from smartreader_spark.pipeline.corpus import DEFAULT_CORPUS_DIR, load_corpus
+        from smartreader_spark.streaming.extract_stream import (
+            stream_extract_bounded as run_bounded,
+        )
+
+        load_corpus(spark)  # ensure the corpus directory exists
+        out = run_bounded(spark, DEFAULT_CORPUS_DIR)
+        return out.select(
+            "doc_id", "title", "byline", "language", "is_readable",
+            F.size("spans").alias("n_spans"),
+            F.col("metrics.chars_retained").alias("chars_retained"),
+        ).orderBy("doc_id")
+
     def span_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Span-tier ops: posexplode → re-sort → ordered concat identity
         check over the fixture corpus (DataFrame-tier, rows-only)."""
@@ -312,6 +331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # → token counts, plus its funnel/lineage view
         "pipeline_end_to_end": training_pipeline,
         "pipeline_funnel": training_funnel,
+        # streaming tier: bounded replay == batch output (value-hashed)
+        "stream_extract_bounded": stream_extract_bounded,
         "extract_testdata": extract_testdata,
         "extract_metrics_rollup": extract_metrics_rollup,
         "pdf_spans": pdf_spans,
@@ -750,6 +771,12 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id, media_ref, frame_idx
         """,
         "extract_corpus": f"""
+            SELECT doc_id, title, byline, language, is_readable,
+                   n_spans, chars_retained
+            FROM read_parquet('{_EXPECTED_CORPUS_PQ}')
+            ORDER BY doc_id
+        """,
+        "stream_extract_bounded": f"""
             SELECT doc_id, title, byline, language, is_readable,
                    n_spans, chars_retained
             FROM read_parquet('{_EXPECTED_CORPUS_PQ}')

@@ -50,6 +50,39 @@ def extraction_query(spark: SparkSession, source_dir: str, sink_dir: str,
     )
 
 
+def stream_extract_bounded(spark: SparkSession, source_dir: str,
+                           options: dict | None = None,
+                           max_files_per_trigger: int = 2) -> DataFrame:
+    """Bounded replay of an existing span-table directory through the
+    STREAMING plan: `trigger(availableNow=True)` drains the directory as
+    rate-limited micro-batches with the exactly-once file sink, then
+    stops. Returns the sink read back as a batch DataFrame — the driver
+    gate compares it value-for-value against the same expected table as
+    the batch `extract_corpus` query, proving batch/stream parity of the
+    extraction tier (stateless maps are trigger-partitioning-invariant).
+    """
+    import tempfile
+
+    sink = tempfile.mkdtemp(prefix="smartreader_stream_sink_")
+    ckpt = tempfile.mkdtemp(prefix="smartreader_stream_ckpt_")
+    stream = (
+        spark.readStream.schema(INPUT_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+    out = extract_articles(stream, options=options)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink)
+
+
 def streaming_metrics_rollup(articles_stream: DataFrame,
                              window: str = "1 minute"):
     """Stateful example: windowed extraction metrics with a processing-time
