@@ -51,6 +51,7 @@ REPLICAS = int(os.environ.get("BENCH_REPLICAS", "16"))
 SCALED_CORPUS = f"/tmp/smartreader_bench_corpus_x{REPLICAS}.parquet"
 
 ANALYTICAL = [
+    "pipeline_end_to_end",
     "pdf_spans",
     "agg_pushdown",
     "broadcast_join_topn",
@@ -176,7 +177,7 @@ def _extract_run_child(cores: int, partitions: int, corpus: str) -> None:
 
 
 def _pinned_extract(cores: int, partitions: int, cpu_list: str,
-                    corpus: str = None) -> tuple[int, float]:
+                    corpus: str = None, timeout: int = 280) -> tuple[int, float]:
     cmd = [
         "taskset", "-c", cpu_list, sys.executable, os.path.abspath(__file__),
         "--extract-run", str(cores), str(partitions), corpus or SCALED_CORPUS,
@@ -188,7 +189,7 @@ def _pinned_extract(cores: int, partitions: int, cpu_list: str,
     shm = "/dev/shm/smartreader-spark-local"
     os.makedirs(shm, exist_ok=True)
     env.setdefault("SPARK_LOCAL_DIRS", shm)
-    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=280)
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=timeout)
     if out.returncode != 0 or not out.stdout.strip():
         raise RuntimeError(
             f"pinned extract child failed (rc={out.returncode}, cpus={cpu_list}): "
@@ -225,7 +226,8 @@ def _sentinel(n_procs: int = 16) -> float:
 
 def _gated_extract(cores: int, partitions: int, cpu_list: str,
                    corpus: str = None, attempts: int = 3,
-                   best_sentinel: list = None) -> tuple[int, float, int]:
+                   best_sentinel: list = None,
+                   timeout: int = 280) -> tuple[int, float, int]:
     """Run _pinned_extract `attempts` times bracketed by parallel steal
     sentinels; sentinel-dirty attempts (host throttle episode) do NOT
     consume the attempt budget (up to 2 extras). Returns (docs, best
@@ -240,7 +242,8 @@ def _gated_extract(cores: int, partitions: int, cpu_list: str,
     while counted < attempts and extra <= 1:
         s0 = _sentinel()
         best_sentinel[0] = min(best_sentinel[0], s0)
-        d, wall = _pinned_extract(cores, partitions, cpu_list, corpus)
+        d, wall = _pinned_extract(cores, partitions, cpu_list, corpus,
+                                  timeout=timeout)
         s1 = _sentinel()
         best_sentinel[0] = min(best_sentinel[0], s1)
         docs = d
@@ -279,7 +282,10 @@ def _code_fingerprint() -> str:
 
     pkg = os.path.join(os.path.dirname(os.path.abspath(__file__)), "smartreader_spark")
     h = hashlib.sha256()
-    for rel_dir, excluded in (("kernel", {"pdfkit.py"}), ("pipeline", {"pdf_ingest.py"})):
+    for rel_dir, excluded in (
+        ("kernel", {"pdfkit.py"}),
+        ("pipeline", {"pdf_ingest.py", "training.py"}),
+    ):
         root = os.path.join(pkg, rel_dir)
         for dirpath, _, files in sorted(os.walk(root)):
             for fn in sorted(files):
@@ -291,15 +297,47 @@ def _code_fingerprint() -> str:
     return h.hexdigest()[:16]
 
 
-def _load_hwm(fingerprint: str) -> dict:
+def _analytical_fingerprint() -> str:
+    """Separate fingerprint for the analytical-suite marks: those
+    queries run through __spark_entry__ + functions/pipeline/kernel/
+    sources, so any of that changing invalidates their minima (while
+    extraction marks key off the narrower extraction-path hash)."""
+    import hashlib
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    pkg = os.path.join(repo, "smartreader_spark")
+    h = hashlib.sha256()
+    paths = [os.path.join(repo, "__spark_entry__.py")]
+    for sub in ("functions", "pipeline", "kernel", "sources"):
+        for dirpath, _, files in sorted(os.walk(os.path.join(pkg, sub))):
+            for fn in sorted(files):
+                if fn.endswith(".py"):
+                    paths.append(os.path.join(dirpath, fn))
+    for p in sorted(paths):
+        h.update(os.path.basename(p).encode())
+        with open(p, "rb") as f:
+            h.update(f.read())
+    h.update(SF_DIR.encode())
+    return h.hexdigest()[:16]
+
+
+def _load_hwm(fingerprint: str, analytical_fingerprint: str | None = None) -> dict:
+    """Extraction marks and analytical-suite marks invalidate
+    independently (each keyed by its own fingerprint): an engine edit to
+    the PDF/dedup modules must not discard genuine extraction
+    measurements of unchanged code, and vice versa."""
     try:
         with open(HWM_PATH) as f:
             d = json.load(f)
-        if d.get("fingerprint") == fingerprint:
-            return d
     except Exception:
-        pass
-    return {"fingerprint": fingerprint}
+        d = {}
+    out = d if d.get("fingerprint") == fingerprint else {"fingerprint": fingerprint}
+    if analytical_fingerprint is not None:
+        a = d.get("analytical")
+        if not (isinstance(a, dict) and a.get("fingerprint") == analytical_fingerprint):
+            a = {"fingerprint": analytical_fingerprint, "queries": {}}
+        out["analytical"] = a
+    return out
 
 
 def _save_hwm(hwm: dict) -> None:
@@ -328,6 +366,8 @@ def main() -> None:
 
     queries_sec: dict[str, float] = {}
     report: dict = {"sf": SF_DIR, "unit": "sec"}
+    hwm = _load_hwm(_code_fingerprint(), _analytical_fingerprint())
+    best_sent = [_sentinel()]  # session-best parallel steal probe
 
     # --- corpus materialization (shared by the pinned children) ---
     spark = make_session(CPUS)
@@ -353,15 +393,11 @@ def main() -> None:
         # reported as best-of-attempts. The 32-wide config is the most
         # exposed (needs all 32 vCPUs quiet), so it gets the most retries
         # and its attempts are split across the bench timeline.
-        best_sent = [_sentinel()]
-
         # The N→4N pair is measured as ADJACENT (8, 32) runs so both
         # sides of each ratio see the same machine phase (this VM has
         # multi-minute throughput phases a single-run-each protocol
         # conflates with scaling). Throughput = best across all runs;
         # efficiency = best phase-consistent pair.
-        fp = _code_fingerprint()
-        hwm = _load_hwm(fp)
         report["docs"] = n_docs
 
         walls8, walls32, pair_eff = [], [], []
@@ -515,7 +551,14 @@ def main() -> None:
         report[f"docs_per_sec@{CPUS}"] = round(docs / wall, 1)
 
     # --- analytical operator suite at SF_DIR ---
+    # Same phase protection as extraction (VERDICT r3 #5): the suite is
+    # bracketed by parallel steal sentinels, fresh walls are reported
+    # per-invocation, and per-query BEST walls fold into the hwm (keyed
+    # by the analytical fingerprint) — min() stays sound because a VM
+    # slow phase can only make a wall slower, so a slow-phase invocation
+    # can't print phantom regressions into the record.
     qs = entrymod.queries()
+    sent_a0 = _sentinel()
     for name in ANALYTICAL:
         fn = qs[name]
         t0 = time.time()
@@ -523,6 +566,20 @@ def main() -> None:
         n = df.count()
         queries_sec[name] = round(time.time() - t0, 2)
         _ = n
+    sent_a1 = _sentinel()
+    a = hwm["analytical"]
+    for name in ANALYTICAL:
+        prev = a["queries"].get(name)
+        if prev is None or queries_sec[name] < prev:
+            a["queries"][name] = queries_sec[name]
+    _save_hwm(hwm)
+    best_sent[0] = min(best_sent[0], sent_a0, sent_a1)
+    report["analytical_sentinel_sec"] = [round(sent_a0, 2), round(sent_a1, 2)]
+    report["analytical_sentinel_clean"] = (
+        max(sent_a0, sent_a1) <= 1.3 * best_sent[0]
+    )
+    report["queries_best"] = {k: a["queries"][k] for k in ANALYTICAL if k in a["queries"]}
+    report["analytical_total_best"] = round(sum(report["queries_best"].values()), 2)
 
     total = round(sum(queries_sec.values()), 2)
     report.update(

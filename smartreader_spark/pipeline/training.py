@@ -89,7 +89,7 @@ def _norm(col):
 
 
 def unified_doc_table(spark: SparkSession, sf_dir: str,
-                      num_partitions: int = 8) -> DataFrame:
+                      num_partitions: int | None = None) -> DataFrame:
     """Both extraction legs → one (doc_id, source, text) table.
 
     HTML leg: the driver's `documents` table wrapped as interleaved
@@ -103,6 +103,11 @@ def unified_doc_table(spark: SparkSession, sf_dir: str,
     data)."""
     from ..sources.pdf_corpus import pdf_corpus_rows
 
+    if num_partitions is None:
+        # ~¾ of task slots: the measured mapInPandas sweet spot (the JVM
+        # feeder threads keep whole cores — BASELINE.md); at cluster
+        # scale pass 3-4× total slots instead (extract.py rationale)
+        num_partitions = max(4, (spark.sparkContext.defaultParallelism * 3) // 4)
     html = (
         extract_articles(
             wrap_plain_documents(spark, sf_dir), num_partitions=num_partitions
