@@ -181,3 +181,29 @@ def test_iceberg_merge_executes_with_runtime_jar(spark):
         assert len(rows) == 2 and rows[1].text == "new" and rows[1].error is None
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_pipeline_end_to_end_plan_shape(spark):
+    """The composed training pipeline's plan must show ONE extraction
+    pass per leg (2 distinct MapInPandas, behind the cache barrier, even
+    though dedup's self-joins reference the table many times), zero
+    row-wise Python eval nodes, and zero cartesian joins — the VERDICT
+    r3 #1 acceptance shape. Distinct-instance counting per
+    tools/plan_audit.py: textual reprints of a cached build subplan are
+    byte-identical; genuinely distinct operators differ."""
+    import re
+
+    from smartreader_spark.pipeline.training import training_pipeline
+
+    df = training_pipeline(spark, "/root/testdata/sf0.001")
+    df.collect()  # AQE-finalize
+    plan = plan_of(df)
+
+    def distinct(pattern):
+        return len({m.strip() for m in re.findall(pattern, plan)})
+
+    assert distinct(r"MapInPandas [^\n]*") == 2, plan[:500]
+    assert distinct(r"(?:BatchEvalPython|ArrowEvalPython)[^\n]*") == 0
+    assert distinct(r"(?:BroadcastNestedLoopJoin|CartesianProduct)[^\n]*") == 0
+    # the stage barrier is the cache, not a driver collect
+    assert "InMemoryTableScan" in plan
