@@ -16,7 +16,12 @@ Prints ONE json line: {"run_id": ..., "run_docs": N, "output_path": ...}.
 from __future__ import annotations
 
 import json
+import os
 import sys
+
+# local-mode fallback: under spark-submit the --py-files zip provides the
+# package; run directly, the repo root does
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
