@@ -218,6 +218,10 @@ def test_pdfkit_fuzz_structured_chunks():
             b"Tj", b"TJ", b"'", b"Td", b"TD", b"Tm", b"T*", b"Tf", b"Do",
             b"[", b"]", b"1 2", b"/F1", b"/Im1", b"-400", b"<<", b">>",
             b"/Filter /FlateDecode", b"2 0 R", b"%PDF-1.4",
+            b"/Subtype /Type0", b"/Encoding /Identity-H",
+            b"/ToUnicode 12 0 R", b"beginbfchar <0001> <0041> endbfchar",
+            b"beginbfrange <0030> <0039> <0030> endbfrange", b"/F2",
+            b"<0001000203>", b"/Length 4",
         ]),
         max_size=25,
     )
@@ -231,5 +235,38 @@ def test_pdfkit_fuzz_structured_chunks():
         except PdfParseError:
             return
         assert isinstance(spans, list)
+
+    inner()
+
+
+def test_parse_cmap_fuzz_bounded_and_total():
+    """_parse_cmap must accept arbitrary bytes without raising and must
+    bound crafted ranges (a <0000> <ffffffff> bfrange may not allocate
+    unbounded memory)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from smartreader_spark.kernel.pdfkit import _CMAP_MAX_ENTRIES, _parse_cmap
+
+    crafted = (b"beginbfrange\n<0000> <ffffffff> <0041>\nendbfrange")
+    m = _parse_cmap(crafted)
+    assert len(m) <= _CMAP_MAX_ENTRIES + 1
+    assert m[0] == "A"
+
+    chunks = st.lists(
+        st.sampled_from([
+            b"beginbfchar", b"endbfchar", b"beginbfrange", b"endbfrange",
+            b"<0001>", b"<0041>", b"<ffff>", b"<>", b"<0042 0043>",
+            b"[", b"]", b"<0,1>", b"\n", b"<zz>", b"<0xyz41>",
+        ]),
+        max_size=12,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(chunks)
+    def inner(parts):
+        out = _parse_cmap(b" ".join(parts))
+        assert isinstance(out, dict)
+        assert len(out) <= _CMAP_MAX_ENTRIES + 1
 
     inner()
