@@ -80,7 +80,11 @@ class _Obj:
         self.stream = stream
 
 
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+# the digit run is atomic-anchored ((?![0-9])) so backtracking can't
+# shrink the capture to defeat the indirect-ref lookahead: on
+# "/Length 10 0 R" an unanchored (\d+) would retry as "1" and match
+# (ADVICE r4 — the endstream probe masked this, but only by accident)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)")
 
 
 def _scan_objects(data: bytes) -> dict[int, _Obj]:
@@ -114,17 +118,293 @@ def _scan_objects(data: bytes) -> dict[int, _Obj]:
     return objs
 
 
+# ---------------------------------------------------------------------------
+# stream filters (PDF 32000-1:2008 §7.4): the non-Flate decoders real-world
+# corpora hit routinely — ASCIIHex, ASCII85, RunLength, LZW — plus the PNG
+# and TIFF predictor transforms on Flate/LZW output. Each decoder raises
+# ValueError on malformed input; _decoded_stream converts any failure into
+# the opaque/degraded path (never crashes a batch).
+# ---------------------------------------------------------------------------
+
+_A85_WS = b" \t\r\n\x0c\x00"
+
+
+def _asciihex_decode(data: bytes) -> bytes:
+    """§7.4.2 ASCIIHexDecode: hex pairs, whitespace ignored, '>' is EOD,
+    a dangling final digit is padded with 0."""
+    e = data.find(b">")
+    if e >= 0:
+        data = data[:e]
+    hexs = re.sub(rb"\s+", b"", data)
+    if len(hexs) % 2:
+        hexs += b"0"
+    return bytes.fromhex(hexs.decode("ascii"))  # ValueError on junk
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """§7.4.3 ASCII85Decode: base-85 groups of 5 chars → 4 bytes, 'z' for
+    an all-zero group, '~>' EOD, whitespace ignored. Final partial group
+    of n chars yields n-1 bytes (padded with 'u' per the spec)."""
+    e = data.find(b"~>")
+    if e >= 0:
+        data = data[:e]
+    if data.startswith(b"<~"):  # optional Adobe framing prefix
+        data = data[2:]
+    out = bytearray()
+    group: list[int] = []
+    for b in data:
+        if b in _A85_WS:
+            continue
+        if b == 0x7A:  # 'z'
+            if group:
+                raise ValueError("ASCII85: z inside a group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not (33 <= b <= 117):
+            raise ValueError("ASCII85: byte out of range")
+        group.append(b - 33)
+        if len(group) == 5:
+            n = 0
+            for g in group:
+                n = n * 85 + g
+            if n > 0xFFFFFFFF:
+                raise ValueError("ASCII85: group overflow")
+            out += n.to_bytes(4, "big")
+            group = []
+    if group:
+        k = len(group)
+        if k == 1:
+            raise ValueError("ASCII85: single trailing char")
+        n = 0
+        for g in group + [84] * (5 - k):
+            n = n * 85 + g
+        if n > 0xFFFFFFFF:
+            raise ValueError("ASCII85: group overflow")
+        out += n.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def _rle_decode(data: bytes) -> bytes:
+    """§7.4.5 RunLengthDecode: length byte L ∈ 0..127 copies the next
+    L+1 bytes; L ∈ 129..255 repeats the next byte 257-L times; 128 EOD."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        ln = data[i]
+        if ln == 128:
+            break
+        if ln < 128:
+            chunk = data[i + 1 : i + 2 + ln]
+            if len(chunk) != ln + 1:
+                raise ValueError("RLE: truncated literal run")
+            out += chunk
+            i += 2 + ln
+        else:
+            if i + 1 >= n:
+                raise ValueError("RLE: truncated repeat run")
+            out += data[i + 1 : i + 2] * (257 - ln)
+            i += 2
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """§7.4.4 LZWDecode: TIFF-style LZW, MSB-first bit packing, 9→12-bit
+    variable code width, 256 = clear table, 257 = EOD, first dynamic code
+    258. `early` is /EarlyChange (default 1: the code width grows one
+    code before the table strictly requires it). The width-change rule is
+    kept in lockstep with sources/pdf_corpus._lzw_encode (round-trip
+    differential-tested) and matches the spec's published 9-bit example
+    vector (tests/test_pdf.py)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    bitbuf = nbits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code > 255:
+                    raise ValueError("LZW: first code after clear not a literal")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise ValueError("LZW: code out of range")
+            out += entry
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) + early >= (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return bytes(out)  # tolerate missing EOD (seen in the wild)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_unpredict(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
+    """PNG predictors (§7.4.4.4, /Predictor ≥ 10): every row carries a
+    filter-type byte (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth) followed
+    by the filtered row; undo per the PNG spec."""
+    rowbytes = (columns * colors * bpc + 7) // 8
+    bpp = max(1, (colors * bpc + 7) // 8)
+    if rowbytes <= 0 or len(data) % (rowbytes + 1):
+        raise ValueError("PNG predictor: bad row geometry")
+    out = bytearray()
+    prior = bytearray(rowbytes)
+    for r in range(0, len(data), rowbytes + 1):
+        ft = data[r]
+        row = bytearray(data[r + 1 : r + 1 + rowbytes])
+        if ft == 1:
+            for i in range(bpp, rowbytes):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:
+            for i in range(rowbytes):
+                row[i] = (row[i] + prior[i]) & 0xFF
+        elif ft == 3:
+            for i in range(rowbytes):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + (left + prior[i]) // 2) & 0xFF
+        elif ft == 4:
+            for i in range(rowbytes):
+                left = row[i - bpp] if i >= bpp else 0
+                ul = prior[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + _paeth(left, prior[i], ul)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"PNG predictor: unknown filter type {ft}")
+        out += row
+        prior = row
+    return bytes(out)
+
+
+def _tiff_unpredict(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
+    """TIFF predictor 2 (horizontal differencing), 8-bit components only
+    — other depths are rare enough to stay opaque (documented scope)."""
+    if bpc != 8:
+        raise ValueError("TIFF predictor: only 8-bit components supported")
+    rowbytes = columns * colors
+    if rowbytes <= 0 or len(data) % rowbytes:
+        raise ValueError("TIFF predictor: bad row geometry")
+    out = bytearray(data)
+    for r in range(0, len(out), rowbytes):
+        for i in range(colors, rowbytes):
+            out[r + i] = (out[r + i] + out[r + i - colors]) & 0xFF
+    return bytes(out)
+
+
+_FILTER_SPEC_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+_PARMS_SPEC_RE = re.compile(
+    rb"/(?:DecodeParms|DP)\s*(\[.*?\]|<<.*?>>|null)", re.DOTALL
+)
+_NAME_TOK_RE = re.compile(rb"/([A-Za-z0-9]+)")
+_PARM_ITEM_RE = re.compile(rb"null|<<.*?>>", re.DOTALL)
+_INT_PARM = {
+    key: re.compile(rb"/" + key + rb"\s+(-?\d+)")
+    for key in (b"Predictor", b"Columns", b"Colors", b"BitsPerComponent",
+                b"EarlyChange")
+}
+
+
+def _parm_int(parms: bytes, key: bytes, default: int) -> int:
+    m = _INT_PARM[key].search(parms)
+    return int(m.group(1)) if m else default
+
+
+def _stream_filters(dict_src: bytes) -> list[tuple[bytes, bytes]] | None:
+    """The stream's filter chain as [(name, parms_src)] in application
+    order; [] if unfiltered; None if /Filter is present but unparseable.
+    Accepts both the single-name and array forms, pairing /DecodeParms
+    positionally per the spec."""
+    fm = _FILTER_SPEC_RE.search(dict_src)
+    if not fm:
+        return [] if b"/Filter" not in dict_src else None
+    spec = fm.group(1)
+    names = _NAME_TOK_RE.findall(spec)
+    if not names:
+        return None
+    pm = _PARMS_SPEC_RE.search(dict_src)
+    parms: list[bytes] = []
+    if pm:
+        pspec = pm.group(1)
+        if pspec.startswith(b"["):
+            parms = [b"" if p == b"null" else p
+                     for p in _PARM_ITEM_RE.findall(pspec)]
+        elif pspec != b"null":
+            parms = [pspec]
+    return [(n, parms[i] if i < len(parms) else b"")
+            for i, n in enumerate(names)]
+
+
+#: filter name → decoder; abbreviated names are inline-image aliases the
+#: spec defines (§8.9.7) — harmless to accept on streams too
+_FILTER_DECODERS = {
+    b"ASCIIHexDecode": _asciihex_decode, b"AHx": _asciihex_decode,
+    b"ASCII85Decode": _ascii85_decode, b"A85": _ascii85_decode,
+    b"RunLengthDecode": _rle_decode, b"RL": _rle_decode,
+}
+
+
+def _apply_predictor(data: bytes, parms: bytes) -> bytes:
+    pred = _parm_int(parms, b"Predictor", 1)
+    if pred <= 1:
+        return data
+    columns = _parm_int(parms, b"Columns", 1)
+    colors = _parm_int(parms, b"Colors", 1)
+    bpc = _parm_int(parms, b"BitsPerComponent", 8)
+    if pred == 2:
+        return _tiff_unpredict(data, columns, colors, bpc)
+    if 10 <= pred <= 15:
+        return _png_unpredict(data, columns, colors, bpc)
+    raise ValueError(f"unknown predictor {pred}")
+
+
 def _decoded_stream(obj: _Obj) -> bytes | None:
+    """Run the stream through its full filter chain. Returns None (the
+    opaque/degraded path) for image codecs (DCT/JPX/CCITT/JBIG2),
+    unparseable filter specs, or any decode failure — a corrupt stream
+    costs a degraded page, never the batch."""
     if obj.stream is None:
         return None
-    if b"/FlateDecode" in obj.dict_src:
-        try:
-            return zlib.decompress(obj.stream)
-        except zlib.error:
-            return None  # corrupt deflate: skip, never crash the batch
-    if b"/Filter" in obj.dict_src:
-        return None  # non-Flate filter: opaque (see module scope)
-    return obj.stream
+    chain = _stream_filters(obj.dict_src)
+    if chain is None:
+        return None
+    data = obj.stream
+    try:
+        for name, parms in chain:
+            if name in (b"FlateDecode", b"Fl"):
+                data = _apply_predictor(zlib.decompress(data), parms)
+            elif name in (b"LZWDecode", b"LZW"):
+                data = _apply_predictor(
+                    _lzw_decode(data, early=_parm_int(parms, b"EarlyChange", 1)),
+                    parms,
+                )
+            elif name in _FILTER_DECODERS:
+                data = _FILTER_DECODERS[name](data)
+            elif name == b"Crypt":
+                return None  # encryption: out of scope
+            else:
+                return None  # image codecs etc.: opaque media
+    except Exception:
+        return None  # malformed stream: degraded, never a crash
+    return data
 
 
 def _resolve(objs: dict[int, _Obj], src: bytes, key: bytes) -> bytes:

@@ -30,18 +30,29 @@ def remaining_input(input_df: DataFrame, ledger_df: DataFrame | None) -> DataFra
     return input_df.join(done, "doc_id", "left_anti")
 
 
-def load_ledger(spark: SparkSession, output_path: str) -> DataFrame | None:
+def load_ledger(
+    spark: SparkSession,
+    output_path: str,
+    done_predicate: "F.Column | None" = None,
+) -> DataFrame | None:
     """The output table IS the ledger (doc_id projection → column-pruned,
-    predicate-pushed scan). Errored documents are NOT counted as done —
-    a resume retries them (transient failures heal across runs; permanent
-    failures re-fail cheaply and stay diagnosable in lineage)."""
+    predicate-pushed scan).
+
+    `done_predicate` marks rows a resume should NOT retry; the default
+    (`error IS NULL`) retries every errored doc — right for the HTML leg
+    where failures are transient. Legs with a permanent-error taxonomy
+    pass a wider predicate: the PDF leg uses
+    `pdf_ingest.pdf_done_predicate()` (= error IS NULL OR
+    is_permanent_error()) so permanently-bad blobs are ledgered as done
+    instead of being re-parsed on every resume."""
     try:
         if os.path.exists(output_path):
-            return (
-                spark.read.parquet(output_path)
-                .filter(F.col("error").isNull())
-                .select("doc_id")
+            pred = (
+                done_predicate
+                if done_predicate is not None
+                else F.col("error").isNull()
             )
+            return spark.read.parquet(output_path).filter(pred).select("doc_id")
     except Exception:
         return None
     return None

@@ -64,6 +64,48 @@ def is_permanent_error():
     return c.isNotNull() & cond
 
 
+def pdf_done_predicate():
+    """Ledger predicate for the PDF leg: done = extracted cleanly OR
+    failed permanently (retrying a PdfParseError/PdfDegraded blob cannot
+    change the outcome — the blob is what it is). Pass this to
+    ``checkpoint.load_ledger(..., done_predicate=pdf_done_predicate())``;
+    only PdfCrash rows stay retryable."""
+    from pyspark.sql import functions as F
+
+    return F.col("error").isNull() | is_permanent_error()
+
+
+def run_resumable_pdf_ingest(
+    spark,
+    input_df: DataFrame,
+    output_path: str,
+    *,
+    num_partitions: int | None = None,
+    run_id: str | None = None,
+) -> dict:
+    """Resumable PDF ingest mirroring checkpoint.run_resumable_extraction,
+    with the taxonomy-aware ledger: a resume re-parses only docs that are
+    missing or whose previous failure was retryable (PdfCrash). Degraded
+    and container-broken blobs stay ledgered — no retry-forever loop."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from .checkpoint import load_ledger, remaining_input
+
+    run_id = run_id or f"pdfrun-{time.time_ns()}"
+    ledger = load_ledger(spark, output_path, done_predicate=pdf_done_predicate())
+    todo = remaining_input(input_df, ledger)
+    out = pdf_to_span_table(todo, num_partitions=num_partitions)
+    out.withColumn("run_id", F.lit(run_id)).write.mode("append").partitionBy(
+        "run_id"
+    ).parquet(output_path)
+    run_docs = (
+        spark.read.parquet(output_path).filter(F.col("run_id") == run_id).count()
+    )
+    return {"run_id": run_id, "output_path": output_path, "run_docs": int(run_docs)}
+
+
 def _pdf_batch(batches):
     import pandas as pd
 

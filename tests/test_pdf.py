@@ -12,8 +12,9 @@ def test_round_trip_interleaving_and_layout():
     spans = pdf_to_spans(make_pdf(0))
     kinds = [s["kind"] for s in spans]
     # title block, merged 3-line paragraph, image AT ITS POINT OF USE,
-    # closing paragraph, page-2 paragraph, page-3 Type0 paragraph
-    assert kinds == ["text", "text", "img", "text", "text", "text"]
+    # closing paragraph, page-2 paragraph, page-3 Type0 paragraph,
+    # page-4 filter-variant paragraph
+    assert kinds == ["text", "text", "img", "text", "text", "text", "text"]
     assert spans[0]["text"].startswith("Document 0:")
     # the three Td/T* lines merge into ONE block with single spaces
     assert "(doc 0, line 1). " in spans[1]["text"]
@@ -24,7 +25,7 @@ def test_round_trip_interleaving_and_layout():
     assert "\xe9" in spans[3]["text"] and "(parens)" in spans[3]["text"]
     assert spans[4]["text"].endswith("Hex line of doc 0")
     # offsets are the span order
-    assert [s["offset"] for s in spans] == list(range(6))
+    assert [s["offset"] for s in spans] == list(range(7))
 
 
 def test_type0_tounicode_cmap_decode():
@@ -36,8 +37,8 @@ def test_type0_tounicode_cmap_decode():
     for i in (0, 1, 5):
         expected, _, _ = _type0_assets(i)
         spans = pdf_to_spans(make_pdf(i))
-        assert spans[-1]["text"] == expected
-        assert "✓" in spans[-1]["text"] and "naïve" in spans[-1]["text"]
+        assert spans[5]["text"] == expected
+        assert "✓" in spans[5]["text"] and "naïve" in spans[5]["text"]
 
 
 def test_type0_unmapped_and_degenerate_cids():
@@ -70,7 +71,9 @@ def test_flate_and_tj_kerning_variant():
     # odd docs: page-1 stream is FlateDecode + line 1 shown via TJ with a
     # -400 kern that must come back as a word gap
     spans = pdf_to_spans(make_pdf(1))
-    assert [s["kind"] for s in spans] == ["text", "text", "img", "text", "text", "text"]
+    assert [s["kind"] for s in spans] == [
+        "text", "text", "img", "text", "text", "text", "text"
+    ]
     assert spans[1]["text"].startswith("Boilerplate removal")
 
 
@@ -78,9 +81,9 @@ def test_determinism_and_corpus():
     rows = pdf_corpus_rows(4)
     assert [r[0] for r in rows] == [100000, 100001, 100002, 100003]
     assert rows[2][1] == make_pdf(2)
-    # every doc parses to the same 5-span shape
+    # every doc parses to the same 7-span shape
     for _, blob in rows:
-        assert len(pdf_to_spans(blob)) == 6
+        assert len(pdf_to_spans(blob)) == 7
 
 
 def test_error_paths():
@@ -114,7 +117,7 @@ def test_spark_pdf_ingest(spark_session=None):
     rows = {r.doc_id: r for r in out.collect()}
     assert len(rows) == 6
     assert all(r.error is None for r in rows.values())
-    assert all(len(r.spans) == 6 for r in rows.values())
+    assert all(len(r.spans) == 7 for r in rows.values())
     r0 = rows[100000]
     assert r0.spans[2].kind == "img" and r0.spans[2].media_ref == "pdfobj:8"
     assert r0.spans[0].text.startswith("Document 0:")
@@ -222,6 +225,17 @@ def test_pdfkit_fuzz_structured_chunks():
             b"/ToUnicode 12 0 R", b"beginbfchar <0001> <0041> endbfchar",
             b"beginbfrange <0030> <0039> <0030> endbfrange", b"/F2",
             b"<0001000203>", b"/Length 4",
+            # filter machinery (r5): specs, parms, and encoded payloads so
+            # the new decoders inherit the no-crash invariant
+            b"/Filter /LZWDecode", b"/Filter /ASCII85Decode",
+            b"/Filter /ASCIIHexDecode", b"/Filter /RunLengthDecode",
+            b"/Filter [/ASCII85Decode /FlateDecode]",
+            b"/DecodeParms << /Predictor 12 /Columns 4 >>",
+            b"/DecodeParms [null << /Predictor 2 >>]",
+            b"/DecodeParms << /Predictor 15 /Columns 0 >>",
+            b"z~>", b"<~87cUR~>", b"s8W-!~>", b"48656c6c6f>",
+            b"\x02abc\x81d\x80", b"\x80\x0b\x60\x50\x22\x0c\x0c\x85\x01",
+            b"/Length 10 0 R",
         ]),
         max_size=25,
     )
@@ -235,6 +249,145 @@ def test_pdfkit_fuzz_structured_chunks():
         except PdfParseError:
             return
         assert isinstance(spans, list)
+
+    inner()
+
+
+def test_filter_pages_all_variants():
+    """Page 4's content stream is encoded with a per-doc filter variant;
+    all six (AHx, A85, RLE, LZW, Flate+PNG-predictor, A85∘Flate cascade)
+    must decode byte-exactly — no degradation diagnostics."""
+    from smartreader_spark.sources.pdf_corpus import filter_variant
+
+    for i in range(8):
+        diags: list[str] = []
+        spans = pdf_to_spans(make_pdf(i), diagnostics=diags)
+        assert not diags, (i, diags)
+        assert spans[-1]["text"].startswith(
+            f"Filter page of document {i} decoded via {filter_variant(i)}"
+        ), (i, spans[-1])
+
+
+def test_lzw_spec_example_vector():
+    """The published example of PDF 32000-1:2008 §7.4.4.2: the string
+    45 45 45 45 45 65 45 45 45 66 encodes (9-bit codes, EarlyChange
+    irrelevant at this size) to 80 0B 60 50 22 0C 0C 85 01."""
+    from smartreader_spark.kernel.pdfkit import _lzw_decode
+    from smartreader_spark.sources.pdf_corpus import _lzw_encode
+
+    raw = bytes([45, 45, 45, 45, 45, 65, 45, 45, 45, 66])
+    enc = bytes([0x80, 0x0B, 0x60, 0x50, 0x22, 0x0C, 0x0C, 0x85, 0x01])
+    assert _lzw_decode(enc) == raw
+    assert _lzw_encode(raw) == enc
+
+
+def test_lzw_width_growth_round_trip():
+    """Push the dictionary past the 9→10→11-bit boundaries (≥1023
+    entries) so the EarlyChange width rule is exercised on both sides,
+    including the KwKwK case (repetitive data)."""
+    from smartreader_spark.kernel.pdfkit import _lzw_decode
+    from smartreader_spark.sources.pdf_corpus import _lzw_encode
+
+    payloads = [
+        bytes((k * 7 + (k >> 3)) % 256 for k in range(20000)),  # high entropy-ish
+        b"abcab" * 4000,                                         # KwKwK-heavy
+        bytes(5000),                                             # constant
+    ]
+    for raw in payloads:
+        assert _lzw_decode(_lzw_encode(raw)) == raw
+
+
+def test_filter_codec_round_trips():
+    """Differential round trip encoder↔decoder for every filter (the
+    implementations are deliberately independent)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from smartreader_spark.kernel.pdfkit import (
+        _ascii85_decode,
+        _asciihex_decode,
+        _lzw_decode,
+        _png_unpredict,
+        _rle_decode,
+    )
+    from smartreader_spark.sources.pdf_corpus import (
+        _PNG_COLUMNS,
+        _ascii85_encode,
+        _asciihex_encode,
+        _lzw_encode,
+        _png_predict,
+        _rle_encode,
+    )
+
+    pairs = [
+        (_asciihex_encode, _asciihex_decode),
+        (_ascii85_encode, _ascii85_decode),
+        (_rle_encode, _rle_decode),
+        (_lzw_encode, _lzw_decode),
+    ]
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.binary(max_size=600))
+    def inner(raw):
+        for enc, dec in pairs:
+            assert dec(enc(raw)) == raw
+        # PNG predictor pads to whole rows with newlines
+        unp = _png_unpredict(_png_predict(raw), _PNG_COLUMNS, 1, 8)
+        assert unp.rstrip(b"\n") == raw.rstrip(b"\n") or unp[: len(raw)] == raw
+
+    inner()
+
+
+def test_tiff_predictor_2():
+    from smartreader_spark.kernel.pdfkit import _tiff_unpredict
+
+    # 2 rows, 4 columns, 1 color: horizontal deltas
+    raw = bytes([10, 20, 30, 40, 5, 5, 5, 5])
+    pred = bytes([10, 10, 10, 10, 5, 0, 0, 0])
+    assert _tiff_unpredict(pred, 4, 1, 8) == raw
+
+
+def test_length_regex_indirect_ref_no_backtrack():
+    """ADVICE r4: '/Length 10 0 R' (indirect) must NOT match with a
+    backtracked capture of '1' — the digit run is anchored."""
+    from smartreader_spark.kernel.pdfkit import _LENGTH_RE
+
+    assert _LENGTH_RE.search(b"<< /Length 10 0 R >>") is None
+    assert _LENGTH_RE.search(b"<< /Length 107 0 R >>") is None
+    m = _LENGTH_RE.search(b"<< /Length 42 >>")
+    assert m and m.group(1) == b"42"
+
+
+def test_filter_decoders_fuzz_total():
+    """Every filter decoder over arbitrary bytes either returns bytes or
+    raises ValueError — never another exception, never a hang (the
+    _decoded_stream wrapper maps any failure to the degraded path)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from smartreader_spark.kernel.pdfkit import (
+        _ascii85_decode,
+        _asciihex_decode,
+        _lzw_decode,
+        _png_unpredict,
+        _rle_decode,
+        _tiff_unpredict,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(max_size=400))
+    def inner(blob):
+        for dec in (_asciihex_decode, _ascii85_decode, _rle_decode, _lzw_decode):
+            try:
+                out = dec(blob)
+                assert isinstance(out, bytes)
+            except ValueError:
+                pass
+        for fn, args in ((_png_unpredict, (4, 1, 8)), (_tiff_unpredict, (4, 1, 8))):
+            try:
+                assert isinstance(fn(blob, *args), bytes)
+            except ValueError:
+                pass
 
     inner()
 

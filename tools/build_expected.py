@@ -130,7 +130,7 @@ def pipeline_docs_rows() -> list[dict]:
     concat (TEXT_JOIN). The downstream dedup/quality/token stages are
     restated directly in the oracle SQL over this table, so the gate
     verifies the composition end-to-end."""
-    from smartreader_spark.kernel.pdfkit import pdf_to_spans
+    from smartreader_spark.kernel.pdfkit import PdfParseError, pdf_to_spans
     from smartreader_spark.kernel.reader import extract_html
     from smartreader_spark.pipeline.training import PDF_DOCS, TEXT_JOIN
     from smartreader_spark.sources.pdf_corpus import pdf_corpus_rows
@@ -159,7 +159,19 @@ def pipeline_docs_rows() -> list[dict]:
         if t:
             rows.append({"doc_id": doc_id, "source": "html", "text": t})
     for doc_id, blob in pdf_corpus_rows(PDF_DOCS):
-        t = doc_text(pdf_to_spans(blob))
+        # mirror the Spark leg's error semantics exactly (ADVICE r4): the
+        # pipeline drops every row with a non-null error, which includes
+        # PdfDegraded (diagnostics) and PdfParseError/PdfCrash rows
+        diags: list[str] = []
+        try:
+            spans = pdf_to_spans(blob, diagnostics=diags)
+        except PdfParseError:
+            continue
+        except Exception:  # the operator's PdfCrash class — also dropped
+            continue
+        if diags:
+            continue  # PdfDegraded → error non-null → dropped by the pipeline
+        t = doc_text(spans)
         if t:
             rows.append({"doc_id": str(doc_id), "source": "pdf", "text": t})
     return rows
