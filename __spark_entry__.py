@@ -172,6 +172,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("metrics.chars_retained").alias("chars_retained"),
         ).orderBy("doc_id")
 
+    def stream_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The STATEFUL streaming operator under the value oracle
+        (VERDICT r4 #4): documents plus deterministic duplicates (every
+        doc_id % 50 == 0 re-keyed as '<id>_dup') written as 8 files and
+        replayed availableNow in 2-file triggers through the
+        applyInPandasWithState dedup gate — duplicate fingerprints cross
+        micro-batch boundaries, so the state store is load-bearing. The
+        aggregate asserts exactly ONE is_first per fingerprint across
+        the whole stream; DuckDB restates it directly over documents."""
+        import shutil
+        import tempfile
+
+        from smartreader_spark.streaming.dedup_stream import (
+            stream_dedup_bounded as run_dedup,
+        )
+
+        base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = base.select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        )
+        dups = base.filter(F.col("doc_id") % 50 == 0).select(
+            F.concat(F.col("doc_id").cast("string"), F.lit("_dup")).alias("doc_id"),
+            "text",
+        )
+        src = tempfile.mkdtemp(prefix="smartreader_dedup_src_")
+        try:
+            docs.unionByName(dups).repartition(8).write.mode("overwrite").parquet(src)
+            out = run_dedup(spark, src)
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+        return (
+            out.groupBy("fp")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.col("is_first").cast("long")).alias("n_firsts"),
+            )
+            .orderBy("fp")
+        )
+
     def span_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Span-tier ops: posexplode → re-sort → ordered concat identity
         check over the fixture corpus (DataFrame-tier, rows-only)."""
@@ -331,8 +370,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # → token counts, plus its funnel/lineage view
         "pipeline_end_to_end": training_pipeline,
         "pipeline_funnel": training_funnel,
-        # streaming tier: bounded replay == batch output (value-hashed)
+        # streaming tier: bounded replay == batch output (value-hashed);
+        # stream_dedup_bounded proves the STATEFUL operator (state spans
+        # micro-batches, exactly one is_first per fingerprint)
         "stream_extract_bounded": stream_extract_bounded,
+        "stream_dedup_bounded": stream_dedup_bounded,
         "extract_testdata": extract_testdata,
         "extract_metrics_rollup": extract_metrics_rollup,
         "pdf_spans": pdf_spans,
@@ -396,13 +438,35 @@ _EXPECTED_PDF_SPANS_PQ = f"{_REPO}/fixtures/expected_pdf_spans.parquet"
 _EXPECTED_PIPELINE_PQ = f"{_REPO}/fixtures/expected_pipeline_docs.parquet"
 
 
-def _pipeline_ctes(en_sw: str) -> str:
+def _pipeline_ctes() -> str:
     """Shared CTE chain for the composed-pipeline oracles: the unified
     doc table comes from the committed expected table (both extraction
     legs through the kernel, tools/build_expected.py::pipeline_docs_rows);
     every DOWNSTREAM stage — exact dedup window, 60-bit simhash banding +
-    skew valve + hamming verify, near-dup loser drop, quality gate, token
-    counts — is restated in SQL, so the gate verifies the composition."""
+    skew valve + hamming verify, near-dup loser drop, language-aware
+    quality gate, token counts — is restated in SQL, so the gate verifies
+    the composition. The quality stage mirrors
+    pipeline.training.quality_token_stage: per-language stopword hits
+    (textqa.STOPWORDS lexicon), argmax with lexicographically-greatest
+    tie-break, CJK-aware punctuation class (training.PUNCT_CHARS)."""
+    from smartreader_spark.functions.textqa import STOPWORDS
+    from smartreader_spark.pipeline.training import PUNCT_CHARS
+
+    punct_neg = f"[^{PUNCT_CHARS}]"
+    hitcols = ", ".join(
+        f"len(list_filter({_TOKS}, x -> x IN "
+        f"({', '.join(repr(w) for w in ws)}))) AS h_{lang}"
+        for lang, ws in STOPWORDS.items()
+    )
+    # lexicographically greatest language code wins hit ties — the same
+    # ordering as Spark's array_max over struct(hits, lang)
+    langs_desc = sorted(STOPWORDS, reverse=True)
+    best_hits = "greatest(" + ", ".join(f"h_{l}" for l in STOPWORDS) + ")"
+    lang_case = (
+        f"CASE WHEN {best_hits} > 0 THEN CASE {best_hits} "
+        + " ".join(f"WHEN h_{l} THEN '{l}'" for l in langs_desc[:-1])
+        + f" ELSE '{langs_desc[-1]}' END ELSE 'und' END"
+    )
     bits = ", ".join(
         f"sum(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
         for i in range(60)
@@ -445,19 +509,22 @@ def _pipeline_ctes(en_sw: str) -> str:
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
       ), puniq AS (
         SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_b FROM ppairs)
+      ), pqh AS (
+        SELECT doc_id, source, fp, text, {hitcols} FROM puniq
       ), pq AS (
         SELECT doc_id, source, fp,
                length(text) AS n_chars,
                len({_TOKS}) AS n_tokens,
                CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords_est,
-               round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+               {lang_case} AS lang_guess,
+               round(length(regexp_replace(text, '{punct_neg}', '', 'g'))::DOUBLE
                      / greatest(length(text), 1), 6) AS punct_ratio,
-               round(len(list_filter({_TOKS}, x -> x IN ({en_sw})))::DOUBLE
+               round({best_hits}::DOUBLE
                      / greatest(len({_TOKS}), 1), 6) AS stopword_ratio,
                (length(text) >= 100 AND len({_TOKS}) >= 20
-                AND length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+                AND length(regexp_replace(text, '{punct_neg}', '', 'g'))::DOUBLE
                     / greatest(length(text), 1) < 0.1) AS ok
-        FROM puniq
+        FROM pqh
       )
     """
 
@@ -501,14 +568,14 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "pipeline_end_to_end": f"""
-            WITH {_pipeline_ctes(en_sw)}
-            SELECT doc_id, source, fp, n_chars, n_tokens, n_subwords_est,
-                   punct_ratio, stopword_ratio
+            WITH {_pipeline_ctes()}
+            SELECT doc_id, source, fp, lang_guess, n_chars, n_tokens,
+                   n_subwords_est, punct_ratio, stopword_ratio
             FROM pq WHERE ok
             ORDER BY doc_id
         """,
         "pipeline_funnel": f"""
-            WITH {_pipeline_ctes(en_sw)}
+            WITH {_pipeline_ctes()}
             SELECT stage, n_rows FROM (
               SELECT '00_extracted' AS stage, count(*) AS n_rows FROM docs
               UNION ALL SELECT '10_exact_deduped', count(*) FROM kept
@@ -781,6 +848,19 @@ def oracle_sql() -> dict[str, str]:
                    n_spans, chars_retained
             FROM read_parquet('{_EXPECTED_CORPUS_PQ}')
             ORDER BY doc_id
+        """,
+        "stream_dedup_bounded": f"""
+            WITH inp AS (
+              SELECT doc_id::VARCHAR AS doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id::VARCHAR || '_dup', text FROM documents
+              WHERE doc_id % 50 = 0
+            )
+            SELECT md5({_NORM}) AS fp,
+                   count(*) AS n_docs,
+                   1::BIGINT AS n_firsts
+            FROM inp GROUP BY 1
+            ORDER BY fp
         """,
         "extract_testdata": f"""
             SELECT doc_id, title, reading_time_sec, is_readable, n_spans

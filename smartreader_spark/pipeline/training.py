@@ -57,6 +57,11 @@ TEXT_JOIN = "\n\n"
 #: number of synthetic PDF docs unioned into the gate-sized pipeline run
 PDF_DOCS = 8
 
+#: quality-gate punctuation class: ASCII plus the CJK/fullwidth marks, so
+#: a Chinese/Japanese doc's punctuation density is measured, not invisible
+#: (VERDICT r4 #3; mirrored verbatim in the DuckDB oracle)
+PUNCT_CHARS = ".,;:!?。、！？：；"
+
 
 def doc_text_expr():
     """Ordered concat of a document's *text* spans with a paragraph
@@ -89,14 +94,20 @@ def _norm(col):
 
 
 def unified_doc_table(spark: SparkSession, sf_dir: str,
-                      num_partitions: int | None = None) -> DataFrame:
+                      num_partitions: int | None = None,
+                      pdf_source: "DataFrame | str | None" = None,
+                      pdf_partitions: int | None = None) -> DataFrame:
     """Both extraction legs → one (doc_id, source, text) table.
 
     HTML leg: the driver's `documents` table wrapped as interleaved
     span docs → kernel extraction via Arrow-batched mapInPandas.
-    PDF leg: the deterministic synthetic PDF corpus
+    PDF leg: by default the deterministic synthetic PDF corpus
     (sources/pdf_corpus.py — no external data) → kernel/pdfkit.py via
-    mapInPandas over binary batches.
+    mapInPandas over binary batches. `pdf_source` swaps in a real
+    corpus: a DataFrame with (doc_id, pdf:binary) columns or a parquet
+    path of the same shape (tools/submit_pipeline.py --pdf-source), and
+    `pdf_partitions` sizes that leg's spread (default: gate-sized 2 for
+    the synthetic corpus, the HTML leg's count for an external one).
 
     Errored or empty-extraction documents are dropped here (they are
     the retry ledger's job, pipeline/checkpoint.py — not training
@@ -119,13 +130,20 @@ def unified_doc_table(spark: SparkSession, sf_dir: str,
             doc_text_expr().alias("text"),
         )
     )
-    pdf = (
-        pdf_to_span_table(
-            spark.createDataFrame(
-                pdf_corpus_rows(PDF_DOCS), "doc_id long, pdf binary"
-            ),
-            num_partitions=2,
+    if pdf_source is None:
+        pdf_df = spark.createDataFrame(
+            pdf_corpus_rows(PDF_DOCS), "doc_id long, pdf binary"
         )
+        pdf_partitions = pdf_partitions or 2  # gate-sized default
+    else:
+        pdf_df = (
+            spark.read.parquet(pdf_source)
+            if isinstance(pdf_source, str)
+            else pdf_source
+        )
+        pdf_partitions = pdf_partitions or num_partitions
+    pdf = (
+        pdf_to_span_table(pdf_df, num_partitions=pdf_partitions)
         .filter(F.col("error").isNull())
         .select(
             F.col("doc_id").cast("string").alias("doc_id"),
@@ -136,11 +154,83 @@ def unified_doc_table(spark: SparkSession, sf_dir: str,
     return html.unionByName(pdf).filter(F.length("text") > 0)
 
 
+def quality_token_stage(uniq: DataFrame) -> DataFrame:
+    """Stage 3 — language-aware quality gate + token counts over a
+    (…, text) table. Pure projections (codegen, no shuffle).
+
+    Language awareness (VERDICT r4 #3): the stopword signal is the hit
+    count of the doc's *winning* language over the textqa lexicon
+    (en/es/de/fr, argmax with textqa.language_guess's tie-break —
+    lexicographically greatest code), so a Spanish doc is graded against
+    Spanish stopwords; `lang_guess` is emitted for observability. The
+    punctuation class includes CJK/fullwidth marks (PUNCT_CHARS)."""
+    toks = F.split(_norm(F.col("text")), " ")
+    n_toks = F.size(toks)
+    def _hits(words):
+        # one-arg lambda (PySpark treats a 2-arg lambda as element+index)
+        arr = F.array([F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    lang_structs = [
+        F.struct(_hits(words).alias("hits"), F.lit(lang).alias("lang"))
+        for lang, words in STOPWORDS.items()
+    ]
+    best = F.array_max(F.array(*lang_structs))
+    stop_hits = best["hits"]
+    punct = F.length(
+        F.regexp_replace(F.col("text"), "[^" + PUNCT_CHARS + "]", "")
+    )
+    return (
+        uniq.withColumn("n_chars", F.length("text"))
+        .withColumn("n_tokens", n_toks)
+        .withColumn(
+            "lang_guess",
+            F.when(stop_hits > 0, best["lang"]).otherwise(F.lit("und")),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.round(punct / F.greatest(F.length("text"), F.lit(1)), 6),
+        )
+        .withColumn(
+            "stopword_ratio", F.round(stop_hits / F.greatest(n_toks, F.lit(1)), 6)
+        )
+        .withColumn(
+            "n_subwords_est", F.ceil(F.length("text") / 4).cast("long")
+        )
+        .filter(
+            (F.col("n_chars") >= 100)
+            & (F.col("n_tokens") >= 20)
+            & (punct / F.greatest(F.length("text"), F.lit(1)) < 0.1)
+        )
+    )
+
+
+#: one composed-stage build per (session, sf_dir, knobs) — the gate runs
+#: pipeline_end_to_end AND pipeline_funnel in one session; without this
+#: the second query would pay the extraction + cache build again
+#: (VERDICT r4 "What's wrong" #3)
+_STAGES_CACHE: dict[tuple, dict] = {}
+
+
 def _stages(spark: SparkSession, sf_dir: str,
-            max_hamming: int = 3) -> dict[str, DataFrame]:
+            max_hamming: int = 3,
+            pdf_source: "DataFrame | str | None" = None,
+            pdf_partitions: int | None = None) -> dict[str, DataFrame]:
     """Build every stage DataFrame once; `pipeline_end_to_end` returns
     the survivors, `pipeline_funnel` the per-stage lineage counts."""
-    docs = unified_doc_table(spark, sf_dir).cache()  # ONE extraction pass;
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        max_hamming,
+        pdf_source if isinstance(pdf_source, (str, type(None))) else id(pdf_source),
+        pdf_partitions,
+    )
+    cached = _STAGES_CACHE.get(key)
+    if cached is not None:
+        return cached
+    docs = unified_doc_table(
+        spark, sf_dir, pdf_source=pdf_source, pdf_partitions=pdf_partitions
+    ).cache()  # ONE extraction pass;
     # at 100 TB this cache is the Iceberg write of the extracted table
 
     # stage 1 — exact dedup: window on the content digest (single hash
@@ -163,36 +253,13 @@ def _stages(spark: SparkSession, sf_dir: str,
     losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     uniq = kept.join(F.broadcast(losers), "doc_id", "left_anti")
 
-    # stage 3 — quality gate + token counts (pure projections; same
-    # heuristics family as functions.textqa.quality_scores/token_counts)
-    toks = F.split(_norm(F.col("text")), " ")
-    n_toks = F.size(toks)
-    en_sw = F.array([F.lit(s) for s in STOPWORDS["en"]])
-    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(en_sw, t)))
-    punct = F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?]", ""))
-    final = (
-        uniq.withColumn("n_chars", F.length("text"))
-        .withColumn("n_tokens", n_toks)
-        .withColumn(
-            "punct_ratio",
-            F.round(punct / F.greatest(F.length("text"), F.lit(1)), 6),
-        )
-        .withColumn(
-            "stopword_ratio", F.round(stop_hits / F.greatest(n_toks, F.lit(1)), 6)
-        )
-        .withColumn(
-            "n_subwords_est", F.ceil(F.length("text") / 4).cast("long")
-        )
-        .filter(
-            (F.col("n_chars") >= 100)
-            & (F.col("n_tokens") >= 20)
-            & (punct / F.greatest(F.length("text"), F.lit(1)) < 0.1)
-        )
-    )
+    # stage 3 — language-aware quality gate + token counts (factored out
+    # so the per-language path is unit-testable: quality_token_stage)
+    final = quality_token_stage(uniq)
     dropped = oversized_buckets_for_docs(
         kept.select("doc_id", "text"), max_bucket_size=SIMHASH_MAX_BUCKET
     )
-    return {
+    result = {
         "docs": docs,
         "kept": kept,
         "pairs": pairs,
@@ -200,16 +267,23 @@ def _stages(spark: SparkSession, sf_dir: str,
         "final": final,
         "dropped_buckets": dropped,
     }
+    _STAGES_CACHE[key] = result
+    return result
 
 
-def training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def training_pipeline(spark: SparkSession, sf_dir: str,
+                      pdf_source: "DataFrame | str | None" = None,
+                      pdf_partitions: int | None = None) -> DataFrame:
     """The surviving training documents with their fingerprints and
     token/quality stats — the end-to-end composed query."""
-    final = _stages(spark, sf_dir)["final"]
+    final = _stages(
+        spark, sf_dir, pdf_source=pdf_source, pdf_partitions=pdf_partitions
+    )["final"]
     return final.select(
         "doc_id",
         "source",
         "fp",
+        "lang_guess",
         "n_chars",
         "n_tokens",
         "n_subwords_est",
@@ -218,11 +292,17 @@ def training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def training_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def training_funnel(spark: SparkSession, sf_dir: str,
+                    pdf_source: "DataFrame | str | None" = None,
+                    pdf_partitions: int | None = None) -> DataFrame:
     """Per-stage lineage of the same run: what each stage kept plus the
     near-dup pair volume and — per ADVICE r3 — the simhash skew valve's
-    dropped-bucket count, so recall loss is observable, never silent."""
-    s = _stages(spark, sf_dir)
+    dropped-bucket count, so recall loss is observable, never silent.
+    Shares the memoized stage build with training_pipeline — running
+    both in one session costs one extraction pass."""
+    s = _stages(
+        spark, sf_dir, pdf_source=pdf_source, pdf_partitions=pdf_partitions
+    )
     rows = [
         ("00_extracted", s["docs"]),
         ("10_exact_deduped", s["kept"]),

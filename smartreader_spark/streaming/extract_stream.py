@@ -50,37 +50,53 @@ def extraction_query(spark: SparkSession, source_dir: str, sink_dir: str,
     )
 
 
+def run_bounded_to_df(out_stream: DataFrame, spark: SparkSession) -> DataFrame:
+    """Drain a streaming DataFrame with `trigger(availableNow=True)`
+    through the exactly-once parquet file sink and return the result as
+    a MATERIALIZED batch DataFrame. The temp sink + checkpoint dirs are
+    removed after the cache is populated (ADVICE r4: mkdtemp per gate
+    invocation leaked the full sink output under /tmp) — the returned
+    DataFrame is served from the cache, which is fine at gate size."""
+    import shutil
+    import tempfile
+
+    sink = tempfile.mkdtemp(prefix="smartreader_stream_sink_")
+    ckpt = tempfile.mkdtemp(prefix="smartreader_stream_ckpt_")
+    try:
+        q = (
+            out_stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        df = spark.read.parquet(sink).cache()
+        df.count()  # materialize before the files go away
+        return df
+    finally:
+        shutil.rmtree(sink, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def stream_extract_bounded(spark: SparkSession, source_dir: str,
                            options: dict | None = None,
                            max_files_per_trigger: int = 2) -> DataFrame:
     """Bounded replay of an existing span-table directory through the
     STREAMING plan: `trigger(availableNow=True)` drains the directory as
     rate-limited micro-batches with the exactly-once file sink, then
-    stops. Returns the sink read back as a batch DataFrame — the driver
-    gate compares it value-for-value against the same expected table as
-    the batch `extract_corpus` query, proving batch/stream parity of the
+    stops. Returns the materialized result — the driver gate compares it
+    value-for-value against the same expected table as the batch
+    `extract_corpus` query, proving batch/stream parity of the
     extraction tier (stateless maps are trigger-partitioning-invariant).
     """
-    import tempfile
-
-    sink = tempfile.mkdtemp(prefix="smartreader_stream_sink_")
-    ckpt = tempfile.mkdtemp(prefix="smartreader_stream_ckpt_")
     stream = (
         spark.readStream.schema(INPUT_SCHEMA)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(source_dir)
     )
-    out = extract_articles(stream, options=options)
-    q = (
-        out.writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.read.parquet(sink)
+    return run_bounded_to_df(extract_articles(stream, options=options), spark)
 
 
 def streaming_metrics_rollup(articles_stream: DataFrame,
