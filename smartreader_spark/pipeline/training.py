@@ -249,7 +249,9 @@ def _stages(spark: SparkSession, sf_dir: str,
     # deterministic rule as the exact stage's min-doc_id keeper
     pairs = simhash_pairs_for_docs(
         kept.select("doc_id", "text"), max_hamming=max_hamming
-    )
+    ).cache()  # consumed twice (loser set + funnel count); at 100 TB
+    # this is a small materialized pairs table, not a recompute of the
+    # banded self-join
     losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     uniq = kept.join(F.broadcast(losers), "doc_id", "left_anti")
 
