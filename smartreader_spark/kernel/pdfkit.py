@@ -432,12 +432,48 @@ def _resolve(objs: dict[int, _Obj], src: bytes, key: bytes) -> bytes:
     return rest.split(b"/", 1)[0]
 
 
+_CATALOG_PAGES_RE = re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R")
+_KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.DOTALL)
+
+
 def _page_objects(objs: dict[int, _Obj]) -> list[_Obj]:
-    pages = [o for o in objs.values()
-             if re.search(rb"/Type\s*/Page\b", o.dict_src)]
-    return sorted(pages, key=lambda o: o.num)  # document order for
-    # generated/simple PDFs; a /Kids walk would be needed for reordered
-    # page trees (documented scope)
+    """Document-order pages. The authoritative order is the catalog's
+    page tree (/Pages → /Kids arrays, depth-first — §7.7.3.2); object-
+    number order is the fallback for damaged files with no walkable tree
+    (the same repair posture as the xref-less object scan). Pages a
+    broken tree missed are appended in number order so content is never
+    silently dropped."""
+    pages_by_num = {
+        o.num: o for o in objs.values()
+        if re.search(rb"/Type\s*/Page\b", o.dict_src)
+    }
+    root = None
+    for o in objs.values():
+        if re.search(rb"/Type\s*/Catalog\b", o.dict_src):
+            m = _CATALOG_PAGES_RE.search(o.dict_src)
+            root = objs.get(int(m.group(1))) if m else None
+            break
+    ordered: list[_Obj] = []
+    seen: set[int] = set()
+
+    def walk(node: _Obj | None, depth: int) -> None:
+        if node is None or depth > 64 or node.num in seen:
+            return  # cycle / crafted-depth guard
+        seen.add(node.num)
+        if node.num in pages_by_num:
+            ordered.append(node)
+            return
+        m = _KIDS_RE.search(node.dict_src)
+        if not m:
+            return
+        for rm in _REF_RE.finditer(m.group(1)):
+            walk(objs.get(int(rm.group(1))), depth + 1)
+
+    walk(root, 0)
+    if not ordered:
+        return [pages_by_num[n] for n in sorted(pages_by_num)]
+    missed = sorted(set(pages_by_num) - {p.num for p in ordered})
+    return ordered + [pages_by_num[n] for n in missed]
 
 
 def _page_xobjects(objs: dict[int, _Obj], page: _Obj) -> dict[bytes, int]:
@@ -695,7 +731,27 @@ def _tokens(data: bytes):
                 continue
             m = _OP_RE.match(data, i)
             if m:
-                yield ("op", m.group())
+                op = m.group()
+                if op == b"BI":
+                    # inline image (§8.9.7): skip dict + binary payload to
+                    # the whitespace-delimited EI so raw image bytes can't
+                    # masquerade as operators/strings. Standard heuristic:
+                    # EI preceded by whitespace, followed by delimiter/EOF.
+                    j = m.end()
+                    while True:
+                        j = data.find(b"EI", j)
+                        if j < 0:
+                            i = n  # unterminated: drop the rest
+                            break
+                        before = data[j - 1 : j]
+                        after = data[j + 2 : j + 3]
+                        if (before in b" \t\r\n\x00"
+                                and (not after or after in b" \t\r\n\x00/[]<>(")):
+                            i = j + 2
+                            break
+                        j += 2
+                    continue
+                yield ("op", op)
                 i = m.end()
             else:
                 i += 1  # junk byte: skip
@@ -872,6 +928,15 @@ def pdf_to_spans(pdf_bytes: bytes,
     (pipeline/pdf_ingest.py) distinct from container-level failure."""
     if not pdf_bytes.startswith(b"%PDF-"):
         raise PdfParseError("missing %PDF- header")
+    # encrypted documents: a trailer /Encrypt means every stream/string is
+    # RC4/AES-enciphered — decoding without the key yields mojibake, so
+    # fail PERMANENTLY (PdfParseError → the ledger never retries) instead
+    # of emitting garbage spans. Checked in the trailer tail, where the
+    # spec puts it, to avoid false hits on content bytes.
+    t = pdf_bytes.rfind(b"trailer")
+    tail = pdf_bytes[t:] if t >= 0 else pdf_bytes[-2048:]
+    if re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", tail):
+        raise PdfParseError("encrypted document (no decryption support)")
     objs = _scan_objects(pdf_bytes)
     if not objs:
         raise PdfParseError("no objects found")

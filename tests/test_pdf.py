@@ -236,6 +236,11 @@ def test_pdfkit_fuzz_structured_chunks():
             b"z~>", b"<~87cUR~>", b"s8W-!~>", b"48656c6c6f>",
             b"\x02abc\x81d\x80", b"\x80\x0b\x60\x50\x22\x0c\x0c\x85\x01",
             b"/Length 10 0 R",
+            # page tree / inline image / encryption machinery (r5)
+            b"/Type /Catalog", b"/Pages 2 0 R", b"/Kids [3 0 R 4 0 R]",
+            b"/Kids [2 0 R]", b"/Count 2",
+            b"BI /W 2 /H 2 ID", b"\xff\x00(\x29 EI", b"EI",
+            b"trailer << /Root 1 0 R >>",
         ]),
         max_size=25,
     )
@@ -251,6 +256,72 @@ def test_pdfkit_fuzz_structured_chunks():
         assert isinstance(spans, list)
 
     inner()
+
+
+def test_page_tree_kids_order():
+    """Page ORDER follows the catalog's /Kids walk (§7.7.3.2), not object
+    numbering: a tree listing pages in reverse object order must emit the
+    spans reversed; a page missing from a broken tree is appended, not
+    dropped."""
+    def page(num, cnum, text):
+        content = b"BT /F1 12 Tf 72 720 Td (" + text + b") Tj ET"
+        return (
+            b"%d 0 obj << /Type /Page /Parent 2 0 R /Contents %d 0 R >> endobj\n"
+            % (num, cnum)
+            + b"%d 0 obj << /Length %d >> stream\n%s\nendstream endobj\n"
+            % (cnum, len(content), content)
+        )
+
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [5 0 R 3 0 R] /Count 2 >> endobj\n"
+        + page(3, 4, b"second by tree")
+        + page(5, 6, b"first by tree")
+    )
+    spans = pdf_to_spans(pdf)
+    assert [s["text"] for s in spans] == ["first by tree", "second by tree"]
+
+    # page 7 exists but the tree doesn't reference it → appended last
+    pdf2 = pdf + page(7, 8, b"orphan page")
+    spans2 = pdf_to_spans(pdf2)
+    assert [s["text"] for s in spans2] == [
+        "first by tree", "second by tree", "orphan page"
+    ]
+
+
+def test_encrypted_pdf_rejected_permanently():
+    """A trailer /Encrypt means enciphered streams/strings — must raise
+    PdfParseError (permanent: the ledger never retries) instead of
+    emitting mojibake spans."""
+    content = b"BT (x) Tj ET"
+    pdf = b"%PDF-1.4\n" + (
+        b"1 0 obj << /Type /Page /Contents 2 0 R >> endobj\n"
+        b"2 0 obj << /Length %d >> stream\n%s\nendstream endobj\n"
+        % (len(content), content)
+    ) + b"trailer << /Size 3 /Root 1 0 R /Encrypt 9 0 R >>\nstartxref\n0\n"
+    with pytest.raises(PdfParseError, match="encrypted"):
+        pdf_to_spans(pdf)
+
+
+def test_inline_image_binary_skipped():
+    """BI…ID…EI inline-image payloads are skipped to the delimited EI —
+    raw image bytes (which can contain parens, operators, anything) must
+    not masquerade as text ops."""
+    payload = b"\x28\x29 Tj (fake text) \xff\x00"
+    content = (
+        b"BT /F1 12 Tf 72 700 Td (before) Tj "
+        b"BI /W 2 /H 2 /BPC 8 /CS /G ID " + payload + b" EI (after) Tj ET"
+    )
+    pdf = b"%PDF-1.4\n" + (
+        b"1 0 obj << /Type /Page /Contents 2 0 R >> endobj\n"
+        b"2 0 obj << /Length %d >> stream\n%s\nendstream endobj\n"
+        % (len(content), content)
+    )
+    spans = pdf_to_spans(pdf)
+    text = " ".join(s["text"] for s in spans if s["kind"] == "text")
+    assert "before" in text and "after" in text
+    assert "fake text" not in text
 
 
 def test_filter_pages_all_variants():
