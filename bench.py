@@ -52,6 +52,10 @@ SCALED_CORPUS = f"/tmp/smartreader_bench_corpus_x{REPLICAS}.parquet"
 
 ANALYTICAL = [
     "pipeline_end_to_end",
+    # funnel runs right after the pipeline in the same session: the
+    # memoized stage build (training._STAGES_CACHE) makes it cost
+    # seconds, not a second extraction pass — timed to prove it
+    "pipeline_funnel",
     "pdf_spans",
     "agg_pushdown",
     "broadcast_join_topn",
