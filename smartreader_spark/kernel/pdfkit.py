@@ -11,17 +11,23 @@ metrics) works on them unchanged.
 No PDF library exists in this environment, so the parser is built from
 the file format up (PDF 32000-1:2008): object scanning without an xref
 table (linear `N 0 obj … endobj` scan — robust to broken xrefs, which is
-also how real-world repair tools walk damaged files), FlateDecode via
-stdlib zlib, a content-stream tokenizer (strings with escapes/nesting,
-hex strings, arrays, names, numbers, operators), and a small text-state
-machine (BT/ET, Tf, Td/TD/Tm/T*, Tj/'/"/TJ) that reconstructs reading
-order and line/word breaks from the layout coordinates.
+also how real-world repair tools walk damaged files) PLUS PDF 1.5+
+compressed cross-references (/Type /XRef W-field streams and
+/Type /ObjStm object streams — how post-2005 producers store page
+dicts, fonts and CMaps), the §7.4 stream-filter chains, standard-
+security-handler RC4 decryption for empty-user-password files (§7.6.3),
+a content-stream tokenizer (strings with escapes/nesting, hex strings,
+arrays, names, numbers, operators), and a small text-state machine
+(BT/ET, Tf, Td/TD/Tm/T*, Tj/'/"/TJ) that reconstructs reading order and
+line/word breaks from the layout coordinates.
 
 Scope (honestly bounded — each limit documented where enforced):
 * FlateDecode and raw streams; other filters (DCT, LZW, ...) are kept as
   opaque media where applicable and skipped for text.
 * Simple fonts decode as standard single-byte encodings (latin-1
-  superset). Composite (Type0/Identity-H) fonts — the dominant encoding
+  superset), with /Encoding /Differences remaps honored through an
+  Adobe-Glyph-List subset + uniXXXX names (unknown Differences names
+  show as U+FFFD). Composite (Type0/Identity-H) fonts — the dominant encoding
   in real-world corpora — decode their 2-byte CIDs through the embedded
   /ToUnicode CMap (bfchar + both bfrange forms, §9.10.3); CIDs without a
   mapping (or Type0 without a ToUnicode) become U+FFFD, visible rather
@@ -43,6 +49,7 @@ Layout heuristics (the "layout parse" of the north rule):
 
 from __future__ import annotations
 
+import hashlib
 import re
 import zlib
 
@@ -72,10 +79,12 @@ def _dict_src(body: bytes) -> bytes:
 
 
 class _Obj:
-    __slots__ = ("num", "dict_src", "stream")
+    __slots__ = ("num", "gen", "dict_src", "stream")
 
-    def __init__(self, num: int, dict_src: bytes, stream: bytes | None):
+    def __init__(self, num: int, dict_src: bytes, stream: bytes | None,
+                 gen: int = 0):
         self.num = num
+        self.gen = gen
         self.dict_src = dict_src
         self.stream = stream
 
@@ -91,6 +100,7 @@ def _scan_objects(data: bytes) -> dict[int, _Obj]:
     objs: dict[int, _Obj] = {}
     for m in _OBJ_RE.finditer(data):
         num = int(m.group(1))
+        gen = int(m.group(2))
         body = m.group(3)
         dict_src = _dict_src(body)
         stream = None
@@ -114,7 +124,7 @@ def _scan_objects(data: bytes) -> dict[int, _Obj]:
             if stream is None:
                 sm = _STREAM_RE.search(body)
                 stream = sm.group(1) if sm else None
-        objs[num] = _Obj(num, dict_src, stream)
+        objs[num] = _Obj(num, dict_src, stream, gen)
     return objs
 
 
@@ -407,6 +417,26 @@ def _decoded_stream(obj: _Obj) -> bytes | None:
     return data
 
 
+def _balanced_dict(src: bytes) -> bytes:
+    """src starting at '<<' → the balanced << … >> slice (or all of src
+    if unbalanced — tolerant of truncated dicts)."""
+    depth = 0
+    for i in range(0, len(src) - 1):
+        if src[i : i + 2] == b"<<":
+            depth += 1
+        elif src[i : i + 2] == b">>":
+            depth -= 1
+            if depth == 0:
+                return src[: i + 2]
+    return src
+
+
+def _int_key(src: bytes, key: bytes, default: int = 0) -> int:
+    """Direct integer value of /key in a dict source (not indirect)."""
+    m = re.search(rb"/" + key + rb"\s+(-?\d+)(?![0-9])(?!\s+\d+\s+R)", src)
+    return int(m.group(1)) if m else default
+
+
 def _resolve(objs: dict[int, _Obj], src: bytes, key: bytes) -> bytes:
     """Value source for /key in a dict source; follows ONE indirect ref
     level (enough for /Resources N 0 R — documented scope)."""
@@ -419,40 +449,310 @@ def _resolve(objs: dict[int, _Obj], src: bytes, key: bytes) -> bytes:
         ref = objs.get(int(rm.group(1)))
         return ref.dict_src if ref else b""
     if rest.startswith(b"<<"):
-        # balanced << >> extraction
-        depth = 0
-        for i in range(0, len(rest) - 1):
-            if rest[i : i + 2] == b"<<":
-                depth += 1
-            elif rest[i : i + 2] == b">>":
-                depth -= 1
-                if depth == 0:
-                    return rest[: i + 2]
-        return rest
+        return _balanced_dict(rest)
     return rest.split(b"/", 1)[0]
+
+
+# ---------------------------------------------------------------------------
+# PDF 1.5+ compressed cross-references (§7.5.7 object streams, §7.5.8
+# cross-reference streams). The linear object scan discovers only
+# top-level `N 0 obj … endobj` bodies; post-2005 producers store most
+# dictionary objects (page tree, fonts, ToUnicode refs) INSIDE
+# Flate-compressed /Type /ObjStm streams, addressed by /Type /XRef
+# streams whose binary rows are W-field-packed (and usually
+# PNG-predicted — the §7.4 predictor support above applies). Exploding
+# every ObjStm into the object map restores those documents; decoding
+# the xref rows tells us which object numbers the file's LATEST revision
+# says live compressed (type-2 entries), so a stale top-level copy from
+# an incremental update loses to the ObjStm version.
+# ---------------------------------------------------------------------------
+
+_W_RE = re.compile(rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)")
+_INDEX_RE = re.compile(rb"/Index\s*\[([^\]]*)\]")
+_TYPE_XREF_RE = re.compile(rb"/Type\s*/XRef\b")
+_TYPE_OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm\b")
+
+# defensive caps: crafted /Size or /N values must not allocate unbounded
+# memory in a worker
+_XREF_MAX_ENTRIES = 1 << 20
+_OBJSTM_MAX_OBJS = 8192
+
+
+def _xref_stream_entries(obj: _Obj) -> dict[int, tuple[int, int, int]]:
+    """Decode a /Type /XRef stream → {objnum: (type, field2, field3)}.
+    Type 1 = offset entry, type 2 = (objstm number, index-in-stream);
+    /W gives the byte width of each field (width-0 type defaults to 1),
+    /Index the (start, count) subsection pairs (default [0 /Size])."""
+    data = _decoded_stream(obj)
+    if not data:
+        return {}
+    wm = _W_RE.search(obj.dict_src)
+    if not wm:
+        return {}
+    w0, w1, w2 = (int(wm.group(k)) for k in (1, 2, 3))
+    rowlen = w0 + w1 + w2
+    if rowlen <= 0 or rowlen > 32:
+        return {}
+    im = _INDEX_RE.search(obj.dict_src)
+    if im:
+        nums = [int(x) for x in re.findall(rb"\d+", im.group(1))]
+        index = list(zip(nums[0::2], nums[1::2]))
+    else:
+        index = [(0, _int_key(obj.dict_src, b"Size", 0))]
+    entries: dict[int, tuple[int, int, int]] = {}
+    pos = 0
+    for start, count in index:
+        for k in range(min(count, _XREF_MAX_ENTRIES)):
+            row = data[pos : pos + rowlen]
+            if len(row) < rowlen:
+                return entries  # truncated stream: keep what decoded
+            pos += rowlen
+            f0 = int.from_bytes(row[:w0], "big") if w0 else 1
+            f1 = int.from_bytes(row[w0 : w0 + w1], "big")
+            f2 = int.from_bytes(row[w0 + w1 :], "big")
+            entries[start + k] = (f0, f1, f2)
+            if len(entries) >= _XREF_MAX_ENTRIES:
+                return entries
+    return entries
+
+
+def _expand_object_streams(objs: dict[int, _Obj]) -> None:
+    """Explode every /Type /ObjStm into the object map (§7.5.7): the
+    stream starts with /N (objnum, offset) integer pairs; object bodies
+    begin at /First. Compressed objects are always generation 0 and
+    carry no streams of their own, so dict_src is the whole slice. A
+    number already discovered top-level wins (repair posture) UNLESS an
+    xref stream's type-2 entry says the compressed copy is the current
+    one (incremental-update semantics)."""
+    prefer: set[int] = set()
+    for o in objs.values():
+        if _TYPE_XREF_RE.search(o.dict_src):
+            for num, (t, _f2, _f3) in _xref_stream_entries(o).items():
+                if t == 2:
+                    prefer.add(num)
+    stms = sorted(
+        (o for o in objs.values() if _TYPE_OBJSTM_RE.search(o.dict_src)),
+        key=lambda o: o.num,  # deterministic across dict orderings
+    )
+    for o in stms:
+        data = _decoded_stream(o)
+        if not data:
+            continue
+        n = min(_int_key(o.dict_src, b"N", 0), _OBJSTM_MAX_OBJS)
+        first = _int_key(o.dict_src, b"First", 0)
+        if n <= 0 or not (0 < first <= len(data)):
+            continue
+        pairs = re.findall(rb"(\d+)\s+(\d+)", data[:first])[:n]
+        offs = [(int(a), int(b)) for a, b in pairs]
+        body_len = len(data) - first
+        for k, (num, off) in enumerate(offs):
+            if num == o.num or not (0 <= off <= body_len):
+                continue  # self-reference / out-of-range guard
+            end = offs[k + 1][1] if k + 1 < len(offs) else body_len
+            end = max(off, min(end, body_len))
+            if num not in objs or num in prefer:
+                objs[num] = _Obj(num, data[first + off : first + end], None)
+
+
+# ---------------------------------------------------------------------------
+# standard security handler (§7.6.3): a large share of "encrypted" PDFs
+# in the wild are permissions-only — standard handler, EMPTY user
+# password. Those are fully recoverable: derive the file key (Algorithm
+# 2), verify /U against the empty password (Algorithm 4 for R=2,
+# Algorithm 5 for R=3) and RC4 every stream with the per-object key
+# (Algorithm 1). Anything else — a real user password, V≥4 AES — stays
+# a PERMANENT PdfParseError exactly as before.
+# ---------------------------------------------------------------------------
+
+#: the spec's 32-byte password padding string (§7.6.3.3 Table 21 note)
+_PAD = bytes((
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+))
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4 (KSA + PRGA). Pure-Python is fine at corpus scale; at
+    cluster scale each worker decrypts its own Arrow batch of docs."""
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray()
+    i = j = 0
+    for b in data:
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out.append(b ^ s[(s[i] + s[j]) & 0xFF])
+    return bytes(out)
+
+
+def _dict_pdf_string(src: bytes, key: bytes) -> bytes:
+    """The /key string value of a dict source — literal ( ) form with
+    escapes, or hex <…> form (how /O and /U are usually written)."""
+    m = re.search(rb"/" + key + rb"\s*([(<])", src)
+    if not m:
+        return b""
+    if m.group(1) == b"(":
+        s, _ = _read_string(src, m.end() - 1)
+        return s
+    j = src.find(b">", m.end())
+    h = re.sub(rb"\s", b"", src[m.end() : j if j >= 0 else len(src)])
+    if len(h) % 2:
+        h += b"0"
+    try:
+        return bytes.fromhex(h.decode("ascii"))
+    except ValueError:
+        return b""
+
+
+_TRAILER_KW_RE = re.compile(rb"trailer\b")
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+\d+\s+R")
+_ID_FIRST_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>")
+_ROOT_REF_RE = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R")
+
+
+def _trailer_sources(data: bytes, objs: dict[int, _Obj]) -> list[bytes]:
+    """Every trailer-dict source in file order: classic `trailer <<…>>`
+    dicts AND /Type /XRef stream dicts (which carry the trailer fields
+    in 1.5+ files — the r5 tail-scan heuristic missed an /Encrypt that
+    sat in an early xref stream dict)."""
+    out: list[bytes] = []
+    for m in _TRAILER_KW_RE.finditer(data):
+        j = data.find(b"<<", m.end())
+        if 0 <= j - m.end() <= 64:
+            out.append(_balanced_dict(data[j : j + 8192]))
+    for num in sorted(objs):
+        if _TYPE_XREF_RE.search(objs[num].dict_src):
+            out.append(objs[num].dict_src)
+    return out
+
+
+def _trailer_info(
+    data: bytes, objs: dict[int, _Obj]
+) -> tuple[bytes | None, bytes, int | None]:
+    """(resolved /Encrypt dict source | None, first /ID element bytes,
+    /Root object number | None) across all trailer sources; the last
+    occurrence wins (incremental updates append)."""
+    enc_src: bytes | None = None
+    fid = b""
+    root: int | None = None
+    for t in _trailer_sources(data, objs):
+        em = _ENCRYPT_REF_RE.search(t)
+        if em:
+            o = objs.get(int(em.group(1)))
+            enc_src = o.dict_src if o else b""
+        im = _ID_FIRST_RE.search(t)
+        if im:
+            try:
+                fid = bytes.fromhex(im.group(1).decode("ascii"))
+            except ValueError:
+                pass
+        rm = _ROOT_REF_RE.search(t)
+        if rm:
+            root = int(rm.group(1))
+    if enc_src is None and _ENCRYPT_REF_RE.search(data[-2048:]):
+        enc_src = b""  # damaged trailer: still refuse to emit mojibake
+    return enc_src, fid, root
+
+
+def _build_decryptor(enc_src: bytes, file_id: bytes):
+    """(num, gen, bytes) → bytes stream decryptor for the standard
+    security handler with the EMPTY user password, or PdfParseError
+    (permanent) for everything this scope excludes: a missing/garbled
+    /Encrypt dict, a non-Standard handler, V≥4 (AES), or a /U that the
+    empty-password key fails to reproduce (a real user password)."""
+    if not enc_src:
+        raise PdfParseError("encrypted document (no decryption support)")
+    if not re.search(rb"/Filter\s*/Standard\b", enc_src):
+        raise PdfParseError(
+            "encrypted document (non-standard security handler)"
+        )
+    v = _int_key(enc_src, b"V", 0)
+    r = _int_key(enc_src, b"R", 2)
+    length = _int_key(enc_src, b"Length", 40)
+    o = _dict_pdf_string(enc_src, b"O")
+    u = _dict_pdf_string(enc_src, b"U")
+    p = _int_key(enc_src, b"P", -1)
+    if v not in (1, 2) or r not in (2, 3) or len(o) < 32 or len(u) < 32:
+        raise PdfParseError(
+            f"encrypted document (unsupported handler V={v} R={r})"
+        )
+    n = 5 if v == 1 else max(5, min(16, length // 8))
+    # Algorithm 2: file key from the (empty → pad string) user password
+    md = hashlib.md5(
+        _PAD + o[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + file_id
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            md = hashlib.md5(md[:n]).digest()
+    key = md[:n]
+    # Algorithm 4 (R=2) / 5 (R=3): reproduce /U; mismatch ⇒ real password
+    if r == 2:
+        ok = _rc4(key, _PAD) == u[:32]
+    else:
+        ucalc = _rc4(key, hashlib.md5(_PAD + file_id).digest())
+        for i in range(1, 20):
+            ucalc = _rc4(bytes(b ^ i for b in key), ucalc)
+        ok = ucalc == u[:16]
+    if not ok:
+        raise PdfParseError("encrypted document (user password required)")
+
+    def decrypt(num: int, gen: int, data: bytes,
+                _key=key, _n=n) -> bytes:
+        # Algorithm 1: per-object key = MD5(key + objnum[3 LE] + gen[2 LE])
+        objkey = hashlib.md5(
+            _key
+            + (num & 0xFFFFFF).to_bytes(3, "little")
+            + (gen & 0xFFFF).to_bytes(2, "little")
+        ).digest()[: min(_n + 5, 16)]
+        return _rc4(objkey, data)
+
+    return decrypt
+
+
+def _decrypt_streams(objs: dict[int, _Obj], decrypt) -> None:
+    """RC4 every stream in place with its per-object key — EXCEPT xref
+    streams, which the spec never encrypts (§7.5.8.2). Document-level
+    strings stay enciphered: the parser never consumes them semantically
+    (spans come from content streams, which are decrypted wholesale)."""
+    for o in objs.values():
+        if o.stream is not None and not _TYPE_XREF_RE.search(o.dict_src):
+            o.stream = decrypt(o.num, o.gen, o.stream)
 
 
 _CATALOG_PAGES_RE = re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R")
 _KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.DOTALL)
 
 
-def _page_objects(objs: dict[int, _Obj]) -> list[_Obj]:
+def _page_objects(objs: dict[int, _Obj],
+                  root_num: int | None = None) -> list[_Obj]:
     """Document-order pages. The authoritative order is the catalog's
-    page tree (/Pages → /Kids arrays, depth-first — §7.7.3.2); object-
-    number order is the fallback for damaged files with no walkable tree
-    (the same repair posture as the xref-less object scan). Pages a
-    broken tree missed are appended in number order so content is never
-    silently dropped."""
+    page tree (/Pages → /Kids arrays, depth-first — §7.7.3.2), starting
+    from the trailer's /Root when one resolved (multi-revision files can
+    hold several catalogs); object-number order is the fallback for
+    damaged files with no walkable tree (the same repair posture as the
+    xref-less object scan). Pages a broken tree missed are appended in
+    number order so content is never silently dropped."""
     pages_by_num = {
         o.num: o for o in objs.values()
         if re.search(rb"/Type\s*/Page\b", o.dict_src)
     }
     root = None
-    for o in objs.values():
-        if re.search(rb"/Type\s*/Catalog\b", o.dict_src):
-            m = _CATALOG_PAGES_RE.search(o.dict_src)
-            root = objs.get(int(m.group(1))) if m else None
-            break
+    cand = objs.get(root_num) if root_num is not None else None
+    if cand is not None:
+        m = _CATALOG_PAGES_RE.search(cand.dict_src)
+        root = objs.get(int(m.group(1))) if m else None
+    if root is None:
+        for o in objs.values():
+            if re.search(rb"/Type\s*/Catalog\b", o.dict_src):
+                m = _CATALOG_PAGES_RE.search(o.dict_src)
+                root = objs.get(int(m.group(1))) if m else None
+                break
     ordered: list[_Obj] = []
     seen: set[int] = set()
 
@@ -476,9 +776,31 @@ def _page_objects(objs: dict[int, _Obj]) -> list[_Obj]:
     return ordered + [pages_by_num[n] for n in missed]
 
 
+_PARENT_REF_RE = re.compile(rb"/Parent\s+(\d+)\s+\d+\s+R")
+
+
+def _inherited_attr(objs: dict[int, _Obj], node: _Obj, key: bytes) -> bytes:
+    """Resolve /key on a page, falling back up the /Parent chain — the
+    spec's inheritable page attributes (§7.7.3.4): a page with no
+    /Resources of its own uses its /Pages ancestor's. Cycle/depth
+    guarded like the page-tree walk."""
+    seen: set[int] = set()
+    cur: _Obj | None = node
+    for _ in range(64):
+        if cur is None or cur.num in seen:
+            return b""
+        seen.add(cur.num)
+        val = _resolve(objs, cur.dict_src, key)
+        if val:
+            return val
+        pm = _PARENT_REF_RE.search(cur.dict_src)
+        cur = objs.get(int(pm.group(1))) if pm else None
+    return b""
+
+
 def _page_xobjects(objs: dict[int, _Obj], page: _Obj) -> dict[bytes, int]:
     """name → object number of the page's XObject images."""
-    res = _resolve(objs, page.dict_src, b"Resources")
+    res = _inherited_attr(objs, page, b"Resources")
     xsrc = _resolve(objs, res, b"XObject") if res else b""
     out: dict[bytes, int] = {}
     for m in _NAME_NUM.finditer(xsrc):
@@ -553,14 +875,119 @@ def _parse_cmap(data: bytes) -> dict[int, str]:
     return cmap
 
 
+# ---------------------------------------------------------------------------
+# simple-font /Encoding /Differences (§9.6.6.3): custom-encoded fonts
+# remap byte codes to named glyphs. The names resolve through a compact
+# Adobe-Glyph-List subset (ASCII + Latin-1 accents + the typographic
+# names real documents actually use) plus the algorithmic uniXXXX /
+# uXXXX[XX] forms. A /Differences name outside the table decodes to
+# U+FFFD — visible, not silently mojibake (same posture as unmapped
+# CIDs); codes NOT remapped fall back to the base single-byte path.
+# ---------------------------------------------------------------------------
+
+_GLYPH_NAMES: dict[str, str] = {}
+for _names, _chars in (
+    ("space exclam quotedbl numbersign dollar percent ampersand "
+     "quotesingle parenleft parenright asterisk plus comma hyphen "
+     "period slash", " !\"#$%&'()*+,-./"),
+    ("zero one two three four five six seven eight nine colon semicolon "
+     "less equal greater question at", "0123456789:;<=>?@"),
+    ("bracketleft backslash bracketright asciicircum underscore grave",
+     "[\\]^_`"),
+    ("braceleft bar braceright asciitilde", "{|}~"),
+    ("exclamdown cent sterling currency yen brokenbar section dieresis "
+     "copyright ordfeminine guillemotleft logicalnot registered macron "
+     "degree plusminus acute mu paragraph periodcentered cedilla "
+     "ordmasculine guillemotright onequarter onehalf threequarters "
+     "questiondown", "¡¢£¤¥¦§¨©ª«¬®¯°±´µ¶·¸º»¼½¾¿"),
+    ("Agrave Aacute Acircumflex Atilde Adieresis Aring AE Ccedilla "
+     "Egrave Eacute Ecircumflex Edieresis Igrave Iacute Icircumflex "
+     "Idieresis Eth Ntilde Ograve Oacute Ocircumflex Otilde Odieresis "
+     "multiply Oslash Ugrave Uacute Ucircumflex Udieresis Yacute Thorn "
+     "germandbls", "ÀÁÂÃÄÅÆÇÈÉÊËÌÍÎÏÐÑÒÓÔÕÖ×ØÙÚÛÜÝÞß"),
+    ("agrave aacute acircumflex atilde adieresis aring ae ccedilla "
+     "egrave eacute ecircumflex edieresis igrave iacute icircumflex "
+     "idieresis eth ntilde ograve oacute ocircumflex otilde odieresis "
+     "divide oslash ugrave uacute ucircumflex udieresis yacute thorn "
+     "ydieresis", "àáâãäåæçèéêëìíîïðñòóôõö÷øùúûüýþÿ"),
+    ("endash emdash quoteleft quoteright quotesinglbase quotedblleft "
+     "quotedblright quotedblbase dagger daggerdbl bullet ellipsis "
+     "perthousand guilsinglleft guilsinglright fraction Euro trademark "
+     "minus fi fl florin circumflex tilde breve dotaccent ring "
+     "hungarumlaut ogonek caron Lslash lslash OE oe Scaron scaron "
+     "Zcaron zcaron Ydieresis dotlessi",
+     "–—‘’‚“”„†‡•…‰‹›⁄€™−ﬁﬂƒˆ˜˘˙˚˝˛ˇŁłŒœŠšŽžŸı"),
+):
+    for _nm, _ch in zip(_names.split(), _chars):
+        _GLYPH_NAMES[_nm] = _ch
+del _names, _chars, _nm, _ch
+
+_UNI_NAME_RE = re.compile(r"uni([0-9A-Fa-f]{4})\Z")
+_U_NAME_RE = re.compile(r"u([0-9A-Fa-f]{4,6})\Z")
+
+
+def _glyph_char(name: bytes) -> str | None:
+    try:
+        nm = name.decode("ascii")
+    except UnicodeDecodeError:
+        return None
+    if len(nm) == 1:  # AGL: single-letter names ARE the character
+        return nm
+    hit = _GLYPH_NAMES.get(nm)
+    if hit is not None:
+        return hit
+    m = _UNI_NAME_RE.match(nm)
+    if m:
+        return chr(int(m.group(1), 16))
+    m = _U_NAME_RE.match(nm)
+    if m:
+        cp = int(m.group(1), 16)
+        if cp <= 0x10FFFF and not 0xD800 <= cp <= 0xDFFF:
+            return chr(cp)
+    return None
+
+
+_DIFFERENCES_RE = re.compile(rb"/Differences\s*\[([^\]]*)\]")
+_DIFF_TOK_RE = re.compile(rb"(\d+)|/([^\s/\[\]<>()]+)")
+
+
+def _simple_font_decoder(objs: dict[int, _Obj], fobj: _Obj):
+    """Single-byte decoder for a simple font: /Encoding /Differences
+    remaps win, everything else falls back to the latin-1-superset base
+    path. Returns _decode_text unchanged when there are no Differences
+    (the overwhelmingly common case — zero overhead)."""
+    enc = _resolve(objs, fobj.dict_src, b"Encoding")
+    dm = _DIFFERENCES_RE.search(enc) if enc else None
+    if not dm:
+        return _decode_text
+    table: dict[int, str] = {}
+    code = 0
+    for tok in _DIFF_TOK_RE.finditer(dm.group(1)):
+        if tok.group(1) is not None:
+            code = int(tok.group(1))
+        else:
+            if 0 <= code <= 255:
+                ch = _glyph_char(tok.group(2))
+                table[code] = ch if ch is not None else "�"
+            code += 1
+    if not table:
+        return _decode_text
+
+    def decode(raw: bytes, _t=table) -> str:
+        return "".join(_t.get(b) or chr(b) for b in raw)
+
+    return decode
+
+
 def _font_decoder(objs: dict[int, _Obj], fobj: _Obj):
     """bytes → str decoder for one font object. Composite (Type0) fonts
     decode 2-byte Identity CIDs through the embedded ToUnicode CMap —
     the dominant encoding in real-world PDF corpora; CIDs without a
     mapping become U+FFFD (visible, not silently dropped). Simple fonts
-    use the standard single-byte path (_decode_text)."""
+    use the standard single-byte path, with /Encoding /Differences
+    remaps honored (_simple_font_decoder)."""
     if not re.search(rb"/Subtype\s*/Type0\b", fobj.dict_src):
-        return _decode_text
+        return _simple_font_decoder(objs, fobj)
     cmap: dict[int, str] = {}
     tm = _TOUNICODE_RE.search(fobj.dict_src)
     if tm:
@@ -582,8 +1009,9 @@ def _font_decoder(objs: dict[int, _Obj], fobj: _Obj):
 
 
 def _page_fonts(objs: dict[int, _Obj], page: _Obj) -> dict[bytes, object]:
-    """name → decoder for the page's /Font resources."""
-    res = _resolve(objs, page.dict_src, b"Resources")
+    """name → decoder for the page's /Font resources (inherited from the
+    /Pages ancestor chain when the page carries none of its own)."""
+    res = _inherited_attr(objs, page, b"Resources")
     fsrc = _resolve(objs, res, b"Font") if res else b""
     out: dict[bytes, object] = {}
     for m in _NAME_NUM.finditer(fsrc):
@@ -928,20 +1356,23 @@ def pdf_to_spans(pdf_bytes: bytes,
     (pipeline/pdf_ingest.py) distinct from container-level failure."""
     if not pdf_bytes.startswith(b"%PDF-"):
         raise PdfParseError("missing %PDF- header")
-    # encrypted documents: a trailer /Encrypt means every stream/string is
-    # RC4/AES-enciphered — decoding without the key yields mojibake, so
-    # fail PERMANENTLY (PdfParseError → the ledger never retries) instead
-    # of emitting garbage spans. Checked in the trailer tail, where the
-    # spec puts it, to avoid false hits on content bytes.
-    t = pdf_bytes.rfind(b"trailer")
-    tail = pdf_bytes[t:] if t >= 0 else pdf_bytes[-2048:]
-    if re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", tail):
-        raise PdfParseError("encrypted document (no decryption support)")
     objs = _scan_objects(pdf_bytes)
     if not objs:
         raise PdfParseError("no objects found")
+    # encrypted documents (§7.6.3): found via EVERY trailer source —
+    # classic trailers AND xref-stream dicts (the r5 tail heuristic
+    # missed early xref-stream /Encrypt refs). Standard handler with the
+    # empty user password → decrypt in place (permissions-only files are
+    # fully recoverable); anything else fails PERMANENTLY (PdfParseError
+    # → the ledger never retries) instead of emitting mojibake spans.
+    enc_src, file_id, root_num = _trailer_info(pdf_bytes, objs)
+    if enc_src is not None:
+        _decrypt_streams(objs, _build_decryptor(enc_src, file_id))
+    # PDF 1.5+ compressed objects: explode /ObjStm members into the map
+    # so page trees / fonts / CMaps stored compressed are visible
+    _expand_object_streams(objs)
     spans: list[dict] = []
-    for page_no, page in enumerate(_page_objects(objs)):
+    for page_no, page in enumerate(_page_objects(objs, root_num)):
         content, failed = _page_content(objs, page)
         if failed and diagnostics is not None:
             diagnostics.append(

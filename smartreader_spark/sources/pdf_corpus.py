@@ -184,23 +184,226 @@ def filter_variant(doc_idx: int) -> str:
     return _FILTER_VARIANTS[doc_idx % len(_FILTER_VARIANTS)][0]
 
 
-def _filtered_stream_obj(num: int, data: bytes, doc_idx: int) -> bytes:
-    label, enc, spec = _FILTER_VARIANTS[doc_idx % len(_FILTER_VARIANTS)]
-    payload = enc(data)
-    d = b"<< %s/Length %d >>\nstream\n%s\nendstream" % (spec, len(payload), payload)
-    return _obj(num, d)
+def _filtered_payload(data: bytes, doc_idx: int) -> tuple[bytes, bytes]:
+    """(dict filter spec, encoded payload) for the per-doc filter page."""
+    _label, enc, spec = _FILTER_VARIANTS[doc_idx % len(_FILTER_VARIANTS)]
+    return spec, enc(data)
 
 
-def _stream_obj(num: int, dict_extra: bytes, data: bytes,
-                compress: bool) -> bytes:
+def _flate_payload(data: bytes, extra: bytes,
+                   compress: bool) -> tuple[bytes, bytes]:
     if compress:
-        data = zlib.compress(data)
-        filt = b"/Filter /FlateDecode "
+        return b"/Filter /FlateDecode " + extra, zlib.compress(data)
+    return extra, data
+
+
+# ---------------------------------------------------------------------------
+# standard security handler — ENCRYPT side (§7.6.3, Algorithms 1-5 with
+# empty owner AND user passwords). The writer-side twin of
+# kernel/pdfkit._build_decryptor: the writer runs Algorithm 3 (compute
+# /O) + 2 (file key) + 4/5 (compute /U) + 1 (per-object RC4); the parser
+# runs 2 + 4/5 (verify) + 1 (decrypt). Deliberately independent RC4/MD5
+# plumbing — the round trip is a differential test, not a tautology.
+# ---------------------------------------------------------------------------
+
+_W_PAD = bytes.fromhex(
+    "28bf4e5e4e758a41640" "04e56fffa01082e2e00b6d0683e802f0ca9fe6453697a"
+)
+
+
+def _rc4_w(key: bytes, data: bytes) -> bytes:
+    s = bytearray(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + s[i] + key[i % klen]) % 256
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    x = y = 0
+    for k, b in enumerate(data):
+        x = (x + 1) % 256
+        y = (y + s[x]) % 256
+        s[x], s[y] = s[y], s[x]
+        out[k] = b ^ s[(s[x] + s[y]) % 256]
+    return bytes(out)
+
+
+def _encryption_assets(i: int, rev: int) -> tuple[bytes, bytes, bytes, int]:
+    """(encrypt dict body, file ID, file key, key length n) for doc `i`
+    under revision `rev` (2 = V1/RC4-40, 3 = V2/RC4-128), empty owner
+    and user passwords (permissions-only encryption, P = -44)."""
+    import hashlib
+
+    length = 40 if rev == 2 else 128
+    n = length // 8
+    fid = hashlib.md5(b"smartreader-pdf-id-%d" % i).digest()
+    p = -44
+    # Algorithm 3: /O from the (empty → pad) owner password
+    okd = hashlib.md5(_W_PAD).digest()
+    if rev >= 3:
+        for _ in range(50):
+            okd = hashlib.md5(okd).digest()  # full-digest rehash (Alg 3)
+    okey = okd[:n]
+    o = _rc4_w(okey, _W_PAD)
+    if rev >= 3:
+        for k in range(1, 20):
+            o = _rc4_w(bytes(b ^ k for b in okey), o)
+    # Algorithm 2: file key from the (empty → pad) user password
+    md = hashlib.md5(
+        _W_PAD + o + (p & 0xFFFFFFFF).to_bytes(4, "little") + fid
+    ).digest()
+    if rev >= 3:
+        for _ in range(50):
+            md = hashlib.md5(md[:n]).digest()  # first-n rehash (Alg 2)
+    key = md[:n]
+    # Algorithm 4 (R=2) / 5 (R=3): /U
+    if rev == 2:
+        u = _rc4_w(key, _W_PAD)
     else:
-        filt = b""
-    d = b"<< %s%s/Length %d >>\nstream\n%s\nendstream" % (
-        filt, dict_extra, len(data), data)
-    return _obj(num, d)
+        u = _rc4_w(key, hashlib.md5(_W_PAD + fid).digest())
+        for k in range(1, 20):
+            u = _rc4_w(bytes(b ^ k for b in key), u)
+        u += b"\x00" * 16  # arbitrary 16-byte pad per Algorithm 5 step f
+    body = (
+        b"<< /Filter /Standard /V %d /R %d /Length %d /P %d "
+        b"/O <%s> /U <%s> >>"
+        % (1 if rev == 2 else 2, rev, length, p,
+           o.hex().encode("ascii"), u.hex().encode("ascii"))
+    )
+    return body, fid, key, n
+
+
+def _objkey_w(key: bytes, n: int, num: int) -> bytes:
+    """Algorithm 1 per-object key (generation 0 throughout the corpus)."""
+    import hashlib
+
+    return hashlib.md5(
+        key + num.to_bytes(3, "little") + b"\x00\x00"
+    ).digest()[: min(n + 5, 16)]
+
+
+#: fixed object numbers of the assembly-level objects (beyond the 1-21
+#: content objects): encrypt dict, ObjStm container, xref stream.
+#: Contiguous with the content range so the classic table xref stays
+#: spec-valid (one `0 N` subsection).
+_ENC_NUM, _OBJSTM_NUM, _XREF_NUM = 22, 23, 24
+
+
+def _emit_classic(dicts: list[tuple[int, bytes]],
+                  streams: list[tuple[int, bytes, bytes]],
+                  enc: tuple[bytes, bytes, bytes, int] | None) -> bytes:
+    """Classic PDF 1.4 assembly: every object top-level, table xref,
+    `trailer` dict (+ /Encrypt + /ID when encrypting)."""
+    items = [(num, _obj(num, body)) for num, body in dicts]
+    for num, extra, payload in streams:
+        if enc is not None:
+            payload = _rc4_w(_objkey_w(enc[2], enc[3], num), payload)
+        items.append((num, _obj(
+            num, b"<< %s/Length %d >>\nstream\n%s\nendstream"
+            % (extra, len(payload), payload))))
+    trailer_extra = b""
+    if enc is not None:
+        body, fid, _key, _n = enc
+        items.append((_ENC_NUM, _obj(_ENC_NUM, body)))
+        fh = fid.hex().encode("ascii")
+        trailer_extra = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (_ENC_NUM, fh, fh)
+    items.sort()
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = []
+    for _num, ob in items:
+        offsets.append(len(out))
+        out += ob
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(items) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer\n<< /Size %d /Root 1 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(items) + 1, trailer_extra, xref_at))
+    return bytes(out)
+
+
+def _emit_objstm(dicts: list[tuple[int, bytes]],
+                 streams: list[tuple[int, bytes, bytes]],
+                 enc: tuple[bytes, bytes, bytes, int] | None) -> bytes:
+    """PDF 1.5 compressed-object assembly: every non-stream object packed
+    into ONE Flate-compressed /Type /ObjStm; cross references in a
+    /Type /XRef stream (W [1 3 2] rows, PNG Predictor-12, type-1 rows for
+    top-level objects and type-2 rows for the compressed members); NO
+    classic trailer — the xref stream dict carries /Root (+ /Encrypt +
+    /ID). When encrypting, the ObjStm stream is RC4'd with its own
+    object key (the spec's model: member strings get covered by the
+    container) and the xref stream stays plaintext (§7.5.8.2)."""
+    header = b" ".join(
+        b"%d %d" % (num, off) for (num, _b), off in
+        zip(dicts, _objstm_offsets(dicts))
+    ) + b"\n"
+    payload = header + b"".join(body + b"\n" for _num, body in dicts)
+    stm = zlib.compress(payload)
+    if enc is not None:
+        stm = _rc4_w(_objkey_w(enc[2], enc[3], _OBJSTM_NUM), stm)
+    objstm_obj = _obj(_OBJSTM_NUM, (
+        b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode "
+        b"/Length %d >>\nstream\n%s\nendstream"
+        % (len(dicts), len(header), len(stm), stm)))
+    items = [(_OBJSTM_NUM, objstm_obj)]
+    for num, extra, data in streams:
+        if enc is not None:
+            data = _rc4_w(_objkey_w(enc[2], enc[3], num), data)
+        items.append((num, _obj(
+            num, b"<< %s/Length %d >>\nstream\n%s\nendstream"
+            % (extra, len(data), data))))
+    id_extra = b""
+    if enc is not None:
+        body, fid, _key, _n = enc
+        items.append((_ENC_NUM, _obj(_ENC_NUM, body)))
+        fh = fid.hex().encode("ascii")
+        id_extra = b"/Encrypt %d 0 R /ID [<%s> <%s>] " % (_ENC_NUM, fh, fh)
+    items.sort()
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    top_off: dict[int, int] = {}
+    for num, ob in items:
+        top_off[num] = len(out)
+        out += ob
+    xref_at = len(out)
+    member_idx = {num: k for k, (num, _b) in enumerate(dicts)}
+    size = _XREF_NUM + 1
+    rows = bytearray()
+    for num in range(size):
+        if num == 0:
+            t, f2, f3 = 0, 0, 65535
+        elif num in top_off:
+            t, f2, f3 = 1, top_off[num], 0
+        elif num in member_idx:
+            t, f2, f3 = 2, _OBJSTM_NUM, member_idx[num]
+        elif num == _XREF_NUM:
+            t, f2, f3 = 1, xref_at, 0
+        else:
+            t, f2, f3 = 0, 0, 0
+        rows += bytes([t]) + f2.to_bytes(3, "big") + f3.to_bytes(2, "big")
+    xdata = zlib.compress(_png_predict(bytes(rows), 6))
+    out += _obj(_XREF_NUM, (
+        b"<< /Type /XRef /Size %d /W [1 3 2] /Index [0 %d] /Root 1 0 R "
+        b"%s/Filter /FlateDecode "
+        b"/DecodeParms << /Predictor 12 /Columns 6 >> /Length %d >>\n"
+        b"stream\n%s\nendstream" % (size, size, id_extra, len(xdata), xdata)))
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_at
+    return bytes(out)
+
+
+def _objstm_offsets(dicts: list[tuple[int, bytes]]) -> list[int]:
+    """Byte offsets of each member body within the ObjStm's body area
+    (after /First). Two-pass because the header length depends on the
+    offsets' decimal widths — iterate to the fixed point."""
+    offs = [0] * len(dicts)
+    while True:
+        cur = 0
+        new = []
+        for _num, body in dicts:
+            new.append(cur)
+            cur += len(body) + 1
+        if new == offs:
+            return offs
+        offs = new
 
 
 def _type0_assets(i: int) -> tuple[str, bytes, bytes]:
@@ -245,16 +448,45 @@ def _type0_assets(i: int) -> tuple[str, bytes, bytes]:
     return text, cmap, content
 
 
-def make_pdf(doc_idx: int) -> bytes:
-    """One deterministic PDF: 4 pages; page 1 has a title (Tm), two
+def assembly_variant(doc_idx: int) -> str:
+    """How doc `doc_idx` is physically assembled (test hook):
+    ``classic`` (PDF 1.4 table xref), ``objstm`` (PDF 1.5 compressed
+    objects + xref stream), ``classic+rc4-40`` / ``objstm+rc4-128``
+    (standard security handler, empty user password). Period-8 cycle:
+    docs 0,2,4,6 classic; 1,5 objstm; 3 classic+rc4-40;
+    7 objstm+rc4-128."""
+    if doc_idx % 4 == 3:
+        if (doc_idx // 4) % 2:
+            return "objstm+rc4-128"
+        return "classic+rc4-40"
+    if doc_idx % 4 == 1:
+        return "objstm"
+    return "classic"
+
+
+#: Differences page constants shared with the tests: byte codes 65-67
+#: remap to named glyphs, 97-99 to uniXXXX/uXXXXXX names (with one
+#: deliberately-unknown name → U+FFFD, the visible-failure posture)
+_DIFF_ARRAY = (b"/Differences [65 /eacute /Euro /quotedblleft "
+               b"97 /alpha /uni0414 /u1F600]")
+DIFF_DECODED = "é€“ �Д\U0001f600"  # "ABC abc"
+
+
+def make_pdf(doc_idx: int, variant: str | None = None) -> bytes:
+    """One deterministic PDF: 6 pages; page 1 has a title (Tm), two
     paragraphs (Td/T* lines, TJ kerning on odd docs), an image between
     them (interleaving!); page 2 one paragraph via ' and an escaped +
     hex string; page 3 a Type0/Identity-H paragraph whose 2-byte CIDs
     decode through a Flate-compressed embedded ToUnicode CMap; page 4 a
     paragraph whose content stream is encoded with a per-doc filter
     variant (ASCIIHex / ASCII85 / RunLength / LZW / Flate+PNG-predictor
-    / ASCII85∘Flate cascade — kernel/pdfkit §7.4 coverage). Odd doc
-    indexes compress page 1's content stream."""
+    / ASCII85∘Flate cascade — kernel/pdfkit §7.4 coverage); page 5 a
+    simple font with an /Encoding /Differences remap (named glyphs +
+    uniXXXX + an unknown name → U+FFFD); page 6 carries NO /Resources of
+    its own — its font and image inherit from the /Pages node (§7.7.3.4).
+    Odd doc indexes compress page 1's content stream. The whole object
+    set is then assembled per `assembly_variant`: classic table-xref,
+    ObjStm + xref-stream, and/or RC4-encrypted (empty user password)."""
     i = doc_idx
     title = f"Document {i}: {_LOREM[i % len(_LOREM)]}"
     para1_lines = [
@@ -291,46 +523,70 @@ def make_pdf(doc_idx: int) -> bytes:
         f"aaa bbb {_LOREM[(i + 5) % len(_LOREM)]}"
     )
     c4 = b"BT /F1 12 Tf 72 720 Td (" + filt_text.encode("latin-1") + b") Tj ET\n"
-    objs = [
-        _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
-        _obj(2, b"<< /Type /Pages /Kids [3 0 R 4 0 R 13 0 R 15 0 R] /Count 4 >>"),
-        _obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-                b"/Resources 7 0 R /Contents 5 0 R >>"),
-        _obj(4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-                b"/Resources << /Font << /F1 9 0 R >> >> /Contents 6 0 R >>"),
-        _stream_obj(5, b"", bytes(c1), compress=bool(i % 2)),
-        _stream_obj(6, b"", bytes(c2), compress=False),
-        _obj(7, b"<< /Font << /F1 9 0 R >> /XObject << /Im1 8 0 R >> >>"),
-        _stream_obj(8, b"/Type /XObject /Subtype /Image /Width 8 /Height 8 "
-                       b"/ColorSpace /DeviceGray /BitsPerComponent 8 ",
-                    img_data, compress=False),
-        _obj(9, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
-        _obj(10, b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID "
-                 b"/Encoding /Identity-H /DescendantFonts [11 0 R] "
-                 b"/ToUnicode 12 0 R >>"),
-        _obj(11, b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SynthCID "
-                 b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
-                 b"/Supplement 0 >> >>"),
-        _stream_obj(12, b"", cmap, compress=True),
-        _obj(13, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-                 b"/Resources << /Font << /F2 10 0 R >> >> /Contents 14 0 R >>"),
-        _stream_obj(14, b"", c3, compress=False),
-        _obj(15, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-                 b"/Resources << /Font << /F1 9 0 R >> >> /Contents 16 0 R >>"),
-        _filtered_stream_obj(16, c4, i),
+    # page 5: /F1 label, then the Differences-remapped /FD showing
+    # "ABC abc" — which decodes to DIFF_DECODED, provably NOT latin-1
+    c5 = (b"BT /F1 12 Tf 72 720 Td (Differences page of document %d: ) Tj "
+          b"/FD 12 Tf (ABC abc) Tj ET\n") % i
+    # page 6: no /Resources on the page — /F1 and /Im1 resolve through
+    # the /Pages ancestor (inherited-attribute path)
+    c6 = (b"BT /F1 12 Tf 72 720 Td "
+          b"(Inherited resources page of document %d.) Tj ET\n"
+          b"q 80 0 0 60 72 600 cm /Im1 Do Q\n"
+          b"BT /F1 12 Tf 72 520 Td (Text below the inherited image.) Tj ET\n"
+          ) % i
+
+    dicts = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        # the /Pages node carries /Resources for page 6 to inherit
+        (2, b"<< /Type /Pages "
+            b"/Kids [3 0 R 4 0 R 13 0 R 15 0 R 17 0 R 20 0 R] /Count 6 "
+            b"/Resources << /Font << /F1 9 0 R >> "
+            b"/XObject << /Im1 8 0 R >> >> >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources 7 0 R /Contents 5 0 R >>"),
+        (4, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 9 0 R >> >> /Contents 6 0 R >>"),
+        (7, b"<< /Font << /F1 9 0 R >> /XObject << /Im1 8 0 R >> >>"),
+        (9, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+        (10, b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID "
+             b"/Encoding /Identity-H /DescendantFonts [11 0 R] "
+             b"/ToUnicode 12 0 R >>"),
+        (11, b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SynthCID "
+             b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+             b"/Supplement 0 >> >>"),
+        (13, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F2 10 0 R >> >> /Contents 14 0 R >>"),
+        (15, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 9 0 R >> >> /Contents 16 0 R >>"),
+        (17, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 9 0 R /FD 19 0 R >> >> "
+             b"/Contents 18 0 R >>"),
+        (19, b"<< /Type /Font /Subtype /Type1 /BaseFont /Synthetic "
+             b"/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding "
+             + _DIFF_ARRAY + b" >> >>"),
+        (20, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Contents 21 0 R >>"),
     ]
-    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
-    offsets = []
-    for o in objs:
-        offsets.append(len(out))
-        out += o
-    xref_at = len(out)
-    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
-    for off in offsets:
-        out += b"%010d 00000 n \n" % off
-    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-            % (len(objs) + 1, xref_at))
-    return bytes(out)
+    filt_spec, filt_payload = _filtered_payload(c4, i)
+    streams = [
+        (5, *_flate_payload(bytes(c1), b"", compress=bool(i % 2))),
+        (6, b"", bytes(c2)),
+        (8, b"/Type /XObject /Subtype /Image /Width 8 /Height 8 "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 ", img_data),
+        (12, *_flate_payload(cmap, b"", compress=True)),
+        (14, b"", c3),
+        (16, filt_spec, filt_payload),
+        (18, b"", c5),
+        (21, b"", c6),
+    ]
+    if variant is None:
+        variant = assembly_variant(i)
+    enc = None
+    if "rc4" in variant:
+        enc = _encryption_assets(i, rev=2 if variant.endswith("40") else 3)
+    if variant.startswith("objstm"):
+        return _emit_objstm(dicts, streams, enc)
+    return _emit_classic(dicts, streams, enc)
 
 
 def pdf_corpus_rows(n_docs: int = 8) -> list[tuple[int, bytes]]:

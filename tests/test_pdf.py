@@ -13,8 +13,10 @@ def test_round_trip_interleaving_and_layout():
     kinds = [s["kind"] for s in spans]
     # title block, merged 3-line paragraph, image AT ITS POINT OF USE,
     # closing paragraph, page-2 paragraph, page-3 Type0 paragraph,
-    # page-4 filter-variant paragraph
-    assert kinds == ["text", "text", "img", "text", "text", "text", "text"]
+    # page-4 filter-variant paragraph, page-5 Differences paragraph,
+    # page-6 inherited-resources text/img/text
+    assert kinds == ["text", "text", "img", "text", "text", "text", "text",
+                     "text", "text", "img", "text"]
     assert spans[0]["text"].startswith("Document 0:")
     # the three Td/T* lines merge into ONE block with single spaces
     assert "(doc 0, line 1). " in spans[1]["text"]
@@ -25,7 +27,7 @@ def test_round_trip_interleaving_and_layout():
     assert "\xe9" in spans[3]["text"] and "(parens)" in spans[3]["text"]
     assert spans[4]["text"].endswith("Hex line of doc 0")
     # offsets are the span order
-    assert [s["offset"] for s in spans] == list(range(7))
+    assert [s["offset"] for s in spans] == list(range(11))
 
 
 def test_type0_tounicode_cmap_decode():
@@ -72,7 +74,8 @@ def test_flate_and_tj_kerning_variant():
     # -400 kern that must come back as a word gap
     spans = pdf_to_spans(make_pdf(1))
     assert [s["kind"] for s in spans] == [
-        "text", "text", "img", "text", "text", "text", "text"
+        "text", "text", "img", "text", "text", "text", "text",
+        "text", "text", "img", "text"
     ]
     assert spans[1]["text"].startswith("Boilerplate removal")
 
@@ -81,9 +84,10 @@ def test_determinism_and_corpus():
     rows = pdf_corpus_rows(4)
     assert [r[0] for r in rows] == [100000, 100001, 100002, 100003]
     assert rows[2][1] == make_pdf(2)
-    # every doc parses to the same 7-span shape
+    # every doc parses to the same 11-span shape — REGARDLESS of its
+    # physical assembly (classic / objstm / rc4-encrypted)
     for _, blob in rows:
-        assert len(pdf_to_spans(blob)) == 7
+        assert len(pdf_to_spans(blob)) == 11
 
 
 def test_error_paths():
@@ -117,7 +121,7 @@ def test_spark_pdf_ingest(spark_session=None):
     rows = {r.doc_id: r for r in out.collect()}
     assert len(rows) == 6
     assert all(r.error is None for r in rows.values())
-    assert all(len(r.spans) == 7 for r in rows.values())
+    assert all(len(r.spans) == 11 for r in rows.values())
     r0 = rows[100000]
     assert r0.spans[2].kind == "img" and r0.spans[2].media_ref == "pdfobj:8"
     assert r0.spans[0].text.startswith("Document 0:")
@@ -334,9 +338,9 @@ def test_filter_pages_all_variants():
         diags: list[str] = []
         spans = pdf_to_spans(make_pdf(i), diagnostics=diags)
         assert not diags, (i, diags)
-        assert spans[-1]["text"].startswith(
+        assert spans[6]["text"].startswith(
             f"Filter page of document {i} decoded via {filter_variant(i)}"
-        ), (i, spans[-1])
+        ), (i, spans[6])
 
 
 def test_lzw_spec_example_vector():
@@ -494,3 +498,162 @@ def test_parse_cmap_fuzz_bounded_and_total():
         assert len(out) <= _CMAP_MAX_ENTRIES + 1
 
     inner()
+
+
+# ---------------------------------------------------------------------------
+# round 6: compressed cross-references (/ObjStm + xref streams), RC4
+# standard-security-handler decryption, /Encoding /Differences, and
+# inherited page attributes
+# ---------------------------------------------------------------------------
+
+
+def test_assembly_variants_twin_equivalence():
+    """The physical assembly — classic table-xref, ObjStm + xref stream,
+    RC4-encrypted either way — must never change the extracted spans:
+    every variant of the same doc index is span-identical."""
+    from smartreader_spark.sources.pdf_corpus import assembly_variant
+
+    assert assembly_variant(0) == "classic"
+    assert assembly_variant(1) == "objstm"
+    assert assembly_variant(3) == "classic+rc4-40"
+    assert assembly_variant(7) == "objstm+rc4-128"
+    for i in (0, 3, 7):
+        base = pdf_to_spans(make_pdf(i))
+        for variant in ("classic", "objstm", "classic+rc4-40",
+                        "objstm+rc4-128", "objstm+rc4-40",
+                        "classic+rc4-128"):
+            assert pdf_to_spans(make_pdf(i, variant)) == base, (i, variant)
+
+
+def test_objstm_docs_hide_dicts_from_linear_scan():
+    """The ObjStm variant really does store page/font dicts compressed:
+    the raw bytes contain NO top-level page object, so a parser without
+    /ObjStm expansion could not see the page tree (the pre-r6 failure
+    mode this round closes)."""
+    blob = make_pdf(1)
+    assert b"/Type /ObjStm" in blob
+    assert b"/Type /XRef" in blob
+    assert b"trailer" not in blob          # 1.5+: xref dict IS the trailer
+    # page dicts live only inside the compressed container
+    from smartreader_spark.kernel.pdfkit import _scan_objects
+    top = _scan_objects(blob)
+    assert not any(b"/Type /Page\b" in o.dict_src
+                   or b"/Type /Page " in o.dict_src for o in top.values())
+    # ... yet the parser sees all six pages through the expansion
+    spans = pdf_to_spans(blob)
+    assert sum(1 for s in spans if s["kind"] == "img") == 2
+
+
+def test_xref_stream_w_fields_and_index():
+    """Unit: a /Type /XRef stream with W [1 3 2] + Predictor-12 rows
+    decodes to the right typed entries (type-1 offsets, type-2 members)."""
+    from smartreader_spark.kernel.pdfkit import (
+        _scan_objects,
+        _xref_stream_entries,
+    )
+
+    blob = make_pdf(5)  # objstm variant
+    objs = _scan_objects(blob)
+    xref = next(o for o in objs.values() if b"/Type /XRef" in o.dict_src)
+    entries = _xref_stream_entries(xref)
+    assert entries[0][0] == 0                      # free head
+    types = {t for t, _, _ in entries.values()}
+    assert types == {0, 1, 2}
+    # type-2 rows point into the ObjStm container with member indexes
+    objstm = next(o for o in objs.values() if b"/Type /ObjStm" in o.dict_src)
+    t2 = [(f2, f3) for t, f2, f3 in entries.values() if t == 2]
+    assert t2 and all(f2 == objstm.num for f2, _ in t2)
+    # type-1 offsets really are object starts
+    for num, (t, off, _g) in entries.items():
+        if t == 1 and num in objs:
+            assert blob[off : off + 12].startswith(b"%d 0 obj" % num)
+
+
+def test_rc4_real_password_rejected():
+    """An /Encrypt whose /U the empty-password key cannot reproduce (i.e.
+    a REAL user password) must stay a permanent PdfParseError — never
+    mojibake spans."""
+    import re
+
+    pdf = make_pdf(3)  # classic+rc4-40
+    m = re.search(rb"/U <([0-9a-f]+)>", pdf)
+    bad = pdf.replace(m.group(0), b"/U <" + b"00" * 32 + b">")
+    with pytest.raises(PdfParseError, match="password required"):
+        pdf_to_spans(bad)
+    # V≥4 (AES) stays out of scope — rejected, not garbled
+    bad2 = pdf.replace(b"/V 1 /R 2", b"/V 4 /R 4")
+    with pytest.raises(PdfParseError, match="unsupported handler"):
+        pdf_to_spans(bad2)
+
+
+def test_encrypted_xref_stream_doc_detected():
+    """ADVICE r5: an /Encrypt that lives in an xref-STREAM dict (no
+    classic trailer anywhere, ref placed early in the file) is found via
+    the trailer-source walk — doc 7 is exactly that shape."""
+    blob = make_pdf(7)
+    assert b"trailer" not in blob
+    assert b"/Encrypt" in blob
+    spans = pdf_to_spans(blob)   # decrypts via empty-password handler
+    assert any("Document 7" in (s["text"] or "") for s in spans)
+    # and the RC4 ciphertext is real: the plaintext twin differs on disk
+    assert blob != make_pdf(7, "objstm")
+
+
+def test_differences_encoding_glyphs():
+    """/Encoding /Differences remaps beat latin-1: named glyphs (AGL
+    subset), uniXXXX / uXXXXXX names, and an unknown name that must show
+    as U+FFFD (visible failure, not silent mojibake)."""
+    from smartreader_spark.sources.pdf_corpus import DIFF_DECODED
+
+    for i in (0, 1, 3):   # classic, objstm, encrypted assemblies
+        spans = pdf_to_spans(make_pdf(i))
+        page5 = spans[7]["text"]
+        assert page5 == (
+            f"Differences page of document {i}: {DIFF_DECODED}"
+        ), (i, page5)
+    # é € “ prove named-glyph decode; Д proves uniXXXX; 😀 proves
+    # astral uXXXXXX; � proves the unknown-name posture
+    assert DIFF_DECODED == "é€“ �Д\U0001f600"
+
+
+def test_inherited_page_resources():
+    """A page with NO /Resources inherits fonts AND XObjects from its
+    /Pages ancestor (§7.7.3.4): page 6 extracts text and its image."""
+    spans = pdf_to_spans(make_pdf(0))
+    assert spans[8]["text"].startswith("Inherited resources page")
+    assert spans[9]["kind"] == "img" and spans[9]["media_ref"] == "pdfobj:8"
+    assert spans[10]["text"] == "Text below the inherited image."
+
+
+def test_objstm_incremental_update_preference():
+    """An xref stream's type-2 entry marks the COMPRESSED copy as
+    current: a stale top-level object with the same number loses to the
+    ObjStm member (incremental-update semantics)."""
+    blob = bytearray(make_pdf(1))
+    # plant a stale top-level page 3 BEFORE the real file content — the
+    # linear scan finds it, but the xref stream's type-2 row for object 3
+    # must make the compressed (real) copy win
+    stale = (b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 98 0 R >> "
+             b"endobj\n"
+             b"98 0 obj << /Length 24 >> stream\n"
+             b"BT (stale shadow) Tj ET\nendstream endobj\n")
+    head = b"%PDF-1.5\n"
+    planted = head + stale + bytes(blob[len(head):])
+    spans = pdf_to_spans(planted)
+    text = " ".join(s["text"] or "" for s in spans)
+    assert "stale shadow" not in text
+    assert "Document 1" in text
+
+
+def test_rc4_vector():
+    """Known-answer RC4 check (public test vector: key 'Key', plaintext
+    'Plaintext' → BBF316E8D940AF0AD3) so both independent RC4s are pinned
+    to the real cipher, not merely to each other."""
+    from smartreader_spark.kernel.pdfkit import _rc4
+    from smartreader_spark.sources.pdf_corpus import _rc4_w
+
+    key, pt = b"Key", b"Plaintext"
+    ct = bytes.fromhex("bbf316e8d940af0ad3")
+    assert _rc4(key, pt) == ct
+    assert _rc4_w(key, pt) == ct
+    assert _rc4(key, ct) == pt
