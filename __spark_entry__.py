@@ -102,6 +102,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("metrics.chars_retained").alias("chars_retained"),
         ).orderBy("doc_id")
 
+    def extract_corpus_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The SAME extraction but routed through the salted size-bucket
+        skew strategy (pipeline/extract.salted_size_bucket_repartition) —
+        the cluster-scale skew path value-proven end-to-end against the
+        identical expected table, not just unit-tested for byte balance."""
+        from smartreader_spark.pipeline.extract import extract_articles
+
+        out = extract_articles(
+            _fixture_corpus(spark), num_partitions=8,
+            skew_strategy="size_bucket",
+        )
+        return out.select(
+            "doc_id", "title", "byline", "language", "is_readable",
+            F.size("spans").alias("n_spans"),
+            F.col("metrics.chars_retained").alias("chars_retained"),
+        ).orderBy("doc_id")
+
     def extract_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Extraction over wrapped testdata documents (kernel, rows-only)."""
         from smartreader_spark.pipeline.extract import extract_articles
@@ -365,6 +382,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tables produced by tools/build_expected.py (the kernel itself is
         # grounded by the 142-fixture golden harness)
         "extract_corpus": extract_corpus,
+        # the same extraction through the salted size-bucket skew path —
+        # both physical strategies must produce identical values
+        "extract_corpus_salted": extract_corpus_salted,
         # the composed end-to-end training-data job (north_rule shape):
         # extract (HTML ∪ PDF) → exact dedup → simhash near-dup → quality
         # → token counts, plus its funnel/lineage view
@@ -558,13 +578,19 @@ _SHINGLES = (
 
 
 def oracle_sql() -> dict[str, str]:
-    en_sw = ", ".join(f"'{w}'" for w in ["the", "a", "and", "of", "to", "in", "is", "that", "for", "it"])
-    sw_lists = {
-        "en": ["the", "a", "and", "of", "to", "in", "is", "that", "for", "it"],
-        "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "del"],
-        "de": ["der", "die", "das", "und", "ist", "von", "zu", "den", "mit", "ein"],
-        "fr": ["le", "la", "les", "de", "et", "un", "une", "du", "que", "est"],
-    }
+    # the same 13-language lexicon the Spark ops use; the SQL restates
+    # the counting/argmax/tie-break logic independently, the word lists
+    # themselves are shared data (one source of truth, kernel/langid.py)
+    from smartreader_spark.functions.textqa import STOPWORDS as sw_lists
+
+    en_sw = ", ".join(f"'{w}'" for w in sw_lists["en"])
+    langs_desc = sorted(sw_lists, reverse=True)
+    all_hits = ", ".join(f"h_{l}" for l in sw_lists)
+    lg_case = (
+        f"CASE greatest({all_hits}) "
+        + " ".join(f"WHEN h_{l} THEN '{l}'" for l in langs_desc[:-1])
+        + f" ELSE '{langs_desc[-1]}' END"
+    )
 
     return {
         "pipeline_end_to_end": f"""
@@ -843,6 +869,12 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_EXPECTED_CORPUS_PQ}')
             ORDER BY doc_id
         """,
+        "extract_corpus_salted": f"""
+            SELECT doc_id, title, byline, language, is_readable,
+                   n_spans, chars_retained
+            FROM read_parquet('{_EXPECTED_CORPUS_PQ}')
+            ORDER BY doc_id
+        """,
         "stream_extract_bounded": f"""
             SELECT doc_id, title, byline, language, is_readable,
                    n_spans, chars_retained
@@ -947,13 +979,8 @@ def oracle_sql() -> dict[str, str]:
               -- tie-break mirrors Spark's array_max over struct(hits, lang):
               -- max hits, then lexicographically greatest language code
               SELECT doc_id,
-                     greatest(h_en, h_es, h_de, h_fr) AS lang_hits,
-                     CASE greatest(h_en, h_es, h_de, h_fr)
-                       WHEN h_fr THEN 'fr'
-                       WHEN h_es THEN 'es'
-                       WHEN h_en THEN 'en'
-                       ELSE 'de'
-                     END AS lang0
+                     greatest({all_hits}) AS lang_hits,
+                     {lg_case} AS lang0
               FROM hits
             )
             SELECT doc_id,

@@ -14,12 +14,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-STOPWORDS = {
-    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "for", "it"],
-    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "del"],
-    "de": ["der", "die", "das", "und", "ist", "von", "zu", "den", "mit", "ein"],
-    "fr": ["le", "la", "les", "de", "et", "un", "une", "du", "que", "est"],
-}
+# the stopword lexicon lives in the pure-Python kernel (single source of
+# truth — the DataFrame ops, the kernel language plugin, the composed
+# pipeline's quality gate and both DuckDB oracle generators all consume
+# the same dict): ~25 words × 13 languages, two non-Latin scripts
+from ..kernel.langid import STOPWORDS  # noqa: F401  (re-export)
 
 
 def _load(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,7 +89,15 @@ def language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-overlap language guess: argmax over per-language hit
     counts; 'und' (undetermined) when no lexicon hits at all."""
     docs = _load(spark, sf_dir)
-    toks = F.split(_norm(F.col("text")), " ")
+    # hoist the normalize+split into its own projection: the 13
+    # per-language counters below all reference it, and higher-order
+    # functions sit outside codegen subexpression elimination — without
+    # the named column the split would be recomputed per language
+    # (CollapseProject keeps a non-cheap alias used many times)
+    base = docs.select(
+        "doc_id", F.split(_norm(F.col("text")), " ").alias("toks")
+    )
+    toks = F.col("toks")
     cols = []
     for lang, words in STOPWORDS.items():
         arr = F.array([F.lit(w) for w in words])
@@ -101,7 +108,7 @@ def language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     best = F.array_max(F.array(*cols))
-    return docs.select(
+    return base.select(
         "doc_id",
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_guess"),
         best["hits"].alias("lang_hits"),

@@ -20,13 +20,57 @@ Spark executor closures:
 
 from __future__ import annotations
 
-# per-language stopword lexicons — keep in sync with
-# smartreader_spark/functions/textqa.py STOPWORDS (the Spark-side twin)
+# per-language stopword lexicons — the SINGLE source of truth for every
+# consumer: stopword_language below, the Spark-side textqa.STOPWORDS
+# (re-exported), the composed pipeline's language-aware quality gate,
+# and the DuckDB oracle CTEs (which iterate this dict). ~25 highest-
+# frequency function words per language from public frequency lists;
+# 13 languages, two non-Latin scripts (Cyrillic, Arabic). Word overlaps
+# across languages (que/de/la/…) are intentional — the argmax with the
+# lexicographically-greatest tie-break disambiguates, and the tie
+# semantics are regression-tested (tests/test_training.py).
 STOPWORDS: dict[str, tuple[str, ...]] = {
-    "en": ("the", "a", "and", "of", "to", "in", "is", "that", "for", "it"),
-    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "los", "del"),
-    "de": ("der", "die", "das", "und", "ist", "von", "zu", "den", "mit", "ein"),
-    "fr": ("le", "la", "les", "de", "et", "un", "une", "du", "que", "est"),
+    "en": ("the", "a", "and", "of", "to", "in", "is", "that", "for", "it",
+           "as", "with", "was", "on", "are", "be", "this", "by", "at",
+           "from", "or", "an", "not", "but", "have"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "los", "del",
+           "las", "por", "con", "no", "se", "su", "para", "es", "al",
+           "lo", "como", "más", "pero", "sus", "le"),
+    "de": ("der", "die", "das", "und", "ist", "von", "zu", "den", "mit",
+           "ein", "eine", "nicht", "auch", "sich", "auf", "für", "als",
+           "sie", "es", "an", "werden", "aus", "er", "hat", "dass"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "du", "que", "est",
+           "pas", "pour", "dans", "qui", "sur", "au", "plus", "par", "il",
+           "ne", "se", "ce", "avec", "son", "mais"),
+    "it": ("il", "la", "di", "che", "e", "un", "una", "per", "non",
+           "sono", "con", "si", "da", "come", "anche", "più", "ma",
+           "dei", "nel", "alla", "questo", "della", "al", "gli", "ha"),
+    "pt": ("o", "de", "que", "e", "do", "da", "em", "um", "para", "é",
+           "com", "não", "uma", "os", "no", "se", "na", "por", "mais",
+           "as", "dos", "como", "mas", "foi", "ao"),
+    "nl": ("de", "het", "een", "en", "van", "is", "dat", "op", "te",
+           "zijn", "voor", "met", "die", "niet", "aan", "er", "om",
+           "ook", "als", "maar", "door", "over", "bij", "naar", "uit"),
+    "sv": ("och", "att", "det", "som", "en", "på", "är", "av", "för",
+           "med", "till", "den", "har", "de", "inte", "om", "ett",
+           "han", "men", "var", "jag", "sig", "från", "vi", "så"),
+    "pl": ("nie", "się", "na", "do", "że", "z", "i", "w", "jest", "to",
+           "jak", "po", "co", "tak", "za", "od", "ale", "przez", "być",
+           "przy", "czy", "tylko", "może", "już", "jego"),
+    "tr": ("bir", "ve", "bu", "da", "de", "için", "ile", "olarak", "en",
+           "çok", "daha", "olan", "ama", "gibi", "kadar", "sonra",
+           "ancak", "her", "ki", "ya", "ne", "var", "iki", "büyük",
+           "yeni"),
+    "ru": ("и", "в", "не", "на", "что", "с", "он", "как", "это", "по",
+           "но", "его", "к", "из", "у", "за", "от", "же", "то", "о",
+           "так", "для", "бы", "мы", "или"),
+    "id": ("yang", "dan", "di", "itu", "dengan", "untuk", "tidak",
+           "ini", "dari", "dalam", "akan", "pada", "juga", "saya",
+           "ke", "karena", "oleh", "ada", "mereka", "sudah", "bisa",
+           "atau", "tersebut", "sebagai", "telah"),
+    "ar": ("في", "من", "على", "أن", "إلى", "عن", "مع", "هذا", "كان",
+           "التي", "الذي", "هو", "لا", "ما", "أو", "كل", "لم", "بعد",
+           "قد", "غير", "بين", "حتى", "إذا", "هذه", "عند"),
 }
 
 _STOPSETS = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}

@@ -164,7 +164,13 @@ def quality_token_stage(uniq: DataFrame) -> DataFrame:
     lexicographically greatest code), so a Spanish doc is graded against
     Spanish stopwords; `lang_guess` is emitted for observability. The
     punctuation class includes CJK/fullwidth marks (PUNCT_CHARS)."""
-    toks = F.split(_norm(F.col("text")), " ")
+    # hoist the normalize+split into a named column: the 13 per-language
+    # counters all reference it, and higher-order functions sit outside
+    # codegen subexpression elimination — without this the split would
+    # be recomputed per language (CollapseProject keeps a non-cheap
+    # alias that is referenced many times)
+    uniq = uniq.withColumn("_toks", F.split(_norm(F.col("text")), " "))
+    toks = F.col("_toks")
     n_toks = F.size(toks)
     def _hits(words):
         # one-arg lambda (PySpark treats a 2-arg lambda as element+index)
@@ -202,6 +208,7 @@ def quality_token_stage(uniq: DataFrame) -> DataFrame:
             & (F.col("n_tokens") >= 20)
             & (punct / F.greatest(F.length("text"), F.lit(1)) < 0.1)
         )
+        .drop("_toks")
     )
 
 

@@ -117,8 +117,10 @@ def test_textqa_shapes(spark):
     assert token_counts(spark, SF).count() == 500
     q = quality_scores(spark, SF).limit(5).collect()
     assert all(0 <= r.punct_ratio <= 1 and 0 <= r.stopword_ratio <= 1 for r in q)
+    from smartreader_spark.functions.textqa import STOPWORDS
+
     lg = language_guess(spark, SF).limit(20).collect()
-    assert all(r.lang_guess in ("en", "es", "de", "fr", "und") for r in lg)
+    assert all(r.lang_guess in set(STOPWORDS) | {"und"} for r in lg)
     fp = doc_fingerprints(spark, SF).limit(5).collect()
     assert all(len(r.fp_full) == 32 for r in fp)
 

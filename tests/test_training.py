@@ -161,3 +161,59 @@ def test_resumable_pdf_ingest_skips_permanent_failures(spark, tmp_path):
     assert errs[1] is None
     assert errs[2].startswith("PdfDegraded:")
     assert errs[3].startswith("PdfParseError:")
+
+
+def test_widened_lexicon_multilingual_cross_engine(spark):
+    """Round-6 lexicon widening (VERDICT r5 #3): 13 languages × ~25
+    stopwords, two non-Latin scripts. One doc per language must (a) be
+    guessed as that language by the Spark stage and (b) get the IDENTICAL
+    (lang_guess, stopword hit count) from the DuckDB restatement — the
+    counting/argmax/tie-break logic is stated independently per engine."""
+    import duckdb
+
+    from smartreader_spark.functions.textqa import STOPWORDS
+
+    assert len(STOPWORDS) >= 10
+    assert all(len(ws) >= 20 for ws in STOPWORDS.values())
+
+    filler = " zzz qqq xxx www vvv uuu ttt sss rrr"  # no lexicon hits
+    docs = []
+    for lang, ws in STOPWORDS.items():
+        # each language's doc: its own top stopwords ×4 — dominates any
+        # cross-language word sharing (≤ a handful of shared words)
+        docs.append((f"{lang}-doc", (" ".join(ws[:15]) + filler + " ") * 4))
+
+    from smartreader_spark.pipeline.training import quality_token_stage
+
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    rows = {r.doc_id: r for r in quality_token_stage(df).collect()}
+    assert set(rows) == {f"{lang}-doc" for lang in STOPWORDS}
+    for lang in STOPWORDS:
+        assert rows[f"{lang}-doc"].lang_guess == lang, (
+            lang, rows[f"{lang}-doc"].lang_guess)
+
+    # non-Latin scripts really exercised
+    assert any(not ws[0].isascii() for ws in STOPWORDS.values())
+    assert rows["ru-doc"].lang_guess == "ru"
+    assert rows["ar-doc"].lang_guess == "ar"
+
+    # DuckDB: same hit counts and same argmax per doc
+    con = duckdb.connect()
+    langs_desc = sorted(STOPWORDS, reverse=True)
+    for doc_id, text in docs:
+        hits = {
+            lang: con.execute(
+                "SELECT len(list_filter(string_split("
+                "  regexp_replace(lower(trim($1)), '\\s+', ' ', 'g'), ' '),"
+                "  x -> x IN (" + ", ".join(repr(w) for w in ws) + ")))",
+                [text],
+            ).fetchone()[0]
+            for lang, ws in STOPWORDS.items()
+        }
+        best = max(hits.values())
+        oracle_lang = next(l for l in langs_desc if hits[l] == best)
+        spark_row = rows[doc_id]
+        assert oracle_lang == spark_row.lang_guess, (doc_id, hits)
+        assert best == round(
+            spark_row.stopword_ratio * spark_row.n_tokens
+        ), (doc_id, best, spark_row.stopword_ratio, spark_row.n_tokens)
