@@ -584,6 +584,20 @@ def oracle_sql() -> dict[str, str]:
     from smartreader_spark.functions.textqa import STOPWORDS as sw_lists
 
     en_sw = ", ".join(f"'{w}'" for w in sw_lists["en"])
+
+    # b×r MinHash banding (functions/dedup.py MINHASH_BANDS/ROWS): band
+    # signature = concat of the r 8-hex-char md5 slices, min'd per slice
+    from smartreader_spark.functions.dedup import MINHASH_BANDS, MINHASH_ROWS
+
+    mh_sig = " || ".join(
+        "list_min(list_transform(shingles, "
+        f"s -> substr(md5(b.band::VARCHAR || '|' || s), {1 + 8 * k}, 8)))"
+        for k in range(MINHASH_ROWS)
+    )
+    mh_sigs_cte = f"""
+              SELECT doc_id, b.band AS band, {mh_sig} AS sig
+              FROM sh, (SELECT unnest(range(0, {MINHASH_BANDS})) AS band) b
+    """
     langs_desc = sorted(sw_lists, reverse=True)
     all_hits = ", ".join(f"h_{l}" for l in sw_lists)
     lg_case = (
@@ -666,10 +680,7 @@ def oracle_sql() -> dict[str, str]:
             ), sh AS (
               SELECT doc_id, {_SHINGLES} AS shingles FROM t
             ), sigs AS (
-              SELECT doc_id, b.band AS band,
-                     list_min(list_transform(shingles,
-                         s -> md5(b.band::VARCHAR || '|' || s))) AS sig
-              FROM sh, (SELECT unnest(range(0, 4)) AS band) b
+              {mh_sigs_cte}
             )
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM sigs a JOIN sigs b
@@ -682,10 +693,7 @@ def oracle_sql() -> dict[str, str]:
             ), sh AS (
               SELECT doc_id, {_SHINGLES} AS shingles FROM t
             ), sigs AS (
-              SELECT doc_id, b.band AS band,
-                     list_min(list_transform(shingles,
-                         s -> md5(b.band::VARCHAR || '|' || s))) AS sig
-              FROM sh, (SELECT unnest(range(0, 4)) AS band) b
+              {mh_sigs_cte}
             ), cand AS (
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
               FROM sigs a JOIN sigs b

@@ -21,7 +21,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 NGRAM_N = 3
-NUM_BANDS = 4
+#: b×r LSH banding (VERDICT r5 #3): 8 bands of r=4 concatenated
+#: min-hashes. Candidate probability 1-(1-s⁴)⁸ keeps ~0.99 recall at
+#: Jaccard 0.8 while admitting ~1% of s=0.2 pairs — the old r=1 scheme
+#: (1-(1-s)⁴) admitted ~59% of them, so at corpus scale the verify join
+#: paid for a large low-similarity candidate set (measured comparison in
+#: BASELINE.md). The 4 rows of band b are the four 8-hex-char slices of
+#: md5(b || shingle): one hash evaluation per (shingle, band) — the
+#: explode factor grows 4→8, not 4→32.
+MINHASH_BANDS = 8
+MINHASH_ROWS = 4
 
 
 def _load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -138,9 +147,13 @@ def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
                       sh: DataFrame | None = None) -> DataFrame:
-    """MinHash+LSH candidate pairs: per band b∈[0,4), signature =
-    min(md5(b || shingle)); docs sharing (band, signature) are candidates.
-    Equi-join on fixed-width keys → hash shuffle, no cross product.
+    """MinHash+LSH candidate pairs with b×r banding: per band b∈[0,8),
+    the signature is the concatenation of r=4 independent min-hashes —
+    the four 8-hex-char slices of md5(b || shingle), min'd separately
+    over the doc's shingles. Docs sharing (band, signature) are
+    candidates. Equi-join on fixed-width 32-char keys → hash shuffle, no
+    cross product; the sharper 1-(1-s⁴)⁸ S-curve keeps the verify-join
+    candidate set near-dup-dense (see MINHASH_BANDS note).
 
     `sh`: optional precomputed (doc_id, shingle) table (``_shingle_table``
     output, ideally cached) so a pipeline computing both candidates and
@@ -152,7 +165,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
         # per-band rows via explode of a literal sequence: a pure
         # projection (no join operator, nothing broadcast)
         sh.withColumn(
-            "band", F.explode(F.sequence(F.lit(0), F.lit(NUM_BANDS - 1)))
+            "band", F.explode(F.sequence(F.lit(0), F.lit(MINHASH_BANDS - 1)))
         )
         .select(
             "doc_id",
@@ -160,7 +173,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
             F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), F.col("shingle"))).alias("h"),
         )
         .groupBy("doc_id", "band")
-        .agg(F.min("h").alias("sig"))
+        .agg(
+            F.concat(*[
+                F.min(F.substring("h", 1 + 8 * k, 8))
+                for k in range(MINHASH_ROWS)
+            ]).alias("sig")
+        )
     )
 
     a = sigs.alias("a")
