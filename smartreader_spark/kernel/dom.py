@@ -620,6 +620,20 @@ class _TreeBuilder(HTMLParser):
                 return False
         return False
 
+    def _close_table_for_table(self) -> None:
+        """HTML5 'in table': a <table> start tag while a table is open in
+        table scope acts as an implied </table> (sibling tables). A cell
+        or caption bounds the scan — <table> inside <td> nests legally
+        ('in cell' routes the tag through 'in body'). Found by the r6
+        tree fuzz: nesting broke the serialize→parse fixed point."""
+        for i in range(len(self.stack) - 1, 0, -1):
+            t = self.stack[i].tag
+            if t in ("td", "th", "caption"):
+                break
+            if t == "table":
+                del self.stack[i:]
+                break
+
     def _table_fixup(self, tag: str) -> bool:
         """HTML5-style table context repair for tr/td/th/section starts.
 
@@ -675,7 +689,11 @@ class _TreeBuilder(HTMLParser):
                     self._html.attrs[k] = v if v is not None else ""
             return
         if tag == "head":
-            self.stack = [self._html, self._head]
+            # in-body mode ignores a stray <head> token (HTML5 §13.2.6.4.7);
+            # honoring it re-entered head and dragged following body
+            # content there — found by the r6 tree fuzz
+            if not self._in_body:
+                self.stack = [self._html, self._head]
             return
         if tag == "body":
             self._flush_text()
@@ -700,6 +718,8 @@ class _TreeBuilder(HTMLParser):
             if not self._table_fixup(tag):
                 self._implied_closes(tag)
         else:
+            if tag == "table":
+                self._close_table_for_table()
             self._implied_closes(tag)
             # foster-parent non-table content that would land directly in
             # a table context
@@ -731,6 +751,8 @@ class _TreeBuilder(HTMLParser):
             if not self._table_fixup(tag):
                 self._implied_closes(tag)
         else:
+            if tag == "table":
+                self._close_table_for_table()
             self._implied_closes(tag)
         self._open(tag, attrs)
 
@@ -743,7 +765,8 @@ class _TreeBuilder(HTMLParser):
             self.stack = [self._html, self._body]
             return
         if tag == "head":
-            self.stack = [self._html]
+            if not self._in_body:  # ignored in body, like the start tag
+                self.stack = [self._html]
             return
         if tag == "br":
             # HTML5: </br> acts as a <br> START tag (pages using <br></br>
@@ -761,6 +784,14 @@ class _TreeBuilder(HTMLParser):
                     return
                 if t in _SCOPE_BOUNDARY:
                     break
+            # the synthesized element is body content: enter body first
+            # (the start-tag path does this; without it a document-leading
+            # </p> attached the new <p> to <html> — found by the r6 tree
+            # fuzz, tests/test_dom_fuzz.py)
+            if not self._in_body:
+                self._flush_text()
+                self._in_body = True
+                self.stack = [self._html, self._body]
             self._flush_text()
             if self._cur().tag in _TABLE_CONTEXTS:
                 self._foster_parent(Element("p"))
