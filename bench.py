@@ -604,7 +604,19 @@ def main() -> None:
     line = json.dumps(report)
     # Driver contract: the record is read from a 2000-char stdout tail
     # capture; a longer line parses as null (happened in r4). Keep margin.
-    assert len(line) < 1900, f"bench JSON line too long ({len(line)} chars)"
+    # ADVICE r5: never assert here — a traceback emits ZERO stdout lines,
+    # which breaks the contract harder than a long line; degrade instead.
+    if len(line) >= 1900:
+        slim = dict(report)
+        slim.pop("queries", None)
+        slim["queries_truncated"] = f"line too long ({len(line)} chars); see BENCH_DETAIL.json"
+        line = json.dumps(slim)
+        if len(line) >= 1900:
+            line = json.dumps(
+                {"metric": report.get("metric"), "value": report.get("value"),
+                 "unit": report.get("unit"), "sf": report.get("sf"),
+                 "error": "bench line too long; see BENCH_DETAIL.json"}
+            )
     detail["protocol"] = (
         "pinned adjacent-pair best-of-N; headline docs/sec + efficiency and "
         f"per-query walls = best sentinel-clean measurement across invocations "

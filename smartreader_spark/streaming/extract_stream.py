@@ -54,9 +54,9 @@ def run_bounded_to_df(out_stream: DataFrame, spark: SparkSession) -> DataFrame:
     """Drain a streaming DataFrame with `trigger(availableNow=True)`
     through the exactly-once parquet file sink and return the result as
     a MATERIALIZED batch DataFrame. The temp sink + checkpoint dirs are
-    removed after the cache is populated (ADVICE r4: mkdtemp per gate
+    removed after the rows are collected (ADVICE r4: mkdtemp per gate
     invocation leaked the full sink output under /tmp) — the returned
-    DataFrame is served from the cache, which is fine at gate size."""
+    DataFrame is rebuilt from driver rows, fine at gate size."""
     import shutil
     import tempfile
 
@@ -72,9 +72,13 @@ def run_bounded_to_df(out_stream: DataFrame, spark: SparkSession) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        df = spark.read.parquet(sink).cache()
-        df.count()  # materialize before the files go away
-        return df
+        # Rebuild from driver-side rows so the returned DataFrame has NO
+        # lineage to the sink files (ADVICE r5: a cache()d partition that
+        # is later evicted would recompute against the deleted sink and
+        # fail with FileNotFoundException; gate-sized data makes the
+        # collect cheap and the detachment total).
+        read = spark.read.parquet(sink)
+        return spark.createDataFrame(read.collect(), read.schema)
     finally:
         shutil.rmtree(sink, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
