@@ -15,7 +15,10 @@ also how real-world repair tools walk damaged files) PLUS PDF 1.5+
 compressed cross-references (/Type /XRef W-field streams and
 /Type /ObjStm object streams — how post-2005 producers store page
 dicts, fonts and CMaps), the §7.4 stream-filter chains, standard-
-security-handler RC4 decryption for empty-user-password files (§7.6.3),
+security-handler decryption for empty-user-password files — RC4 V1/V2
+(§7.6.3), crypt-filter V4 /V2+/AESV2 (§7.6.2), and AES-256 /AESV3
+R5/R6 incl. the Algorithm 2.B hardened hash (ISO 32000-2 §7.6.4.3;
+AES itself in cryptokit.py, FIPS-197-vector-pinned),
 a content-stream tokenizer (strings with escapes/nesting, hex strings,
 arrays, names, numbers, operators), and a small text-state machine
 (BT/ET, Tf, Td/TD/Tm/T*, Tj/'/"/TJ) that reconstructs reading order and
@@ -49,6 +52,7 @@ Layout heuristics (the "layout parse" of the north rule):
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import re
 import zlib
@@ -660,12 +664,72 @@ def _trailer_info(
     return enc_src, fid, root
 
 
+@functools.lru_cache(maxsize=256)
+def _hash_2b(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B hardened hash (R=6): SHA-256 seed, then
+    ≥64 rounds of AES-128-CBC-encrypt + modular hash choice; exits when
+    round ≥ 64 and the last ciphertext byte ≤ round−32 (the
+    interoperable reading: round counts COMPLETED iterations)."""
+    from .cryptokit import aes_cbc_encrypt
+
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pwd + k + udata) * 64
+        e = aes_cbc_encrypt(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[
+            sum(e[:16]) % 3
+        ](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def _build_decryptor_v5(enc_src: bytes, r: int):
+    """AES-256 (/AESV3) decryptor for the EMPTY user password: R=5's
+    plain SHA-256 or R=6's Algorithm 2.B validates against /U[0:32];
+    the file key is AES-256-CBC(/UE) under the intermediate key
+    (§7.6.4.3.3/4). Per-object: the FILE key directly, IV = first 16
+    stream bytes, PKCS#7-unpadded."""
+    from .cryptokit import aes_cbc_decrypt, strip_pkcs7
+
+    u = _dict_pdf_string(enc_src, b"U")
+    ue = _dict_pdf_string(enc_src, b"UE")
+    if len(u) < 48 or len(ue) < 32:
+        raise PdfParseError(
+            "encrypted document (malformed V5 /U or /UE)"
+        )
+    vsalt, ksalt = u[32:40], u[40:48]
+    if r == 6:
+        valid = _hash_2b(b"", vsalt) == u[:32]
+        ikey = _hash_2b(b"", ksalt)
+    else:
+        valid = hashlib.sha256(vsalt).digest() == u[:32]
+        ikey = hashlib.sha256(ksalt).digest()
+    if not valid:
+        raise PdfParseError("encrypted document (user password required)")
+    filekey = aes_cbc_decrypt(ikey, b"\x00" * 16, ue[:32])
+
+    def decrypt(num: int, gen: int, data: bytes, _key=filekey) -> bytes:
+        if len(data) < 16:
+            return b""
+        return strip_pkcs7(aes_cbc_decrypt(_key, data[:16], data[16:]))
+
+    return decrypt
+
+
+_CFM_RE = re.compile(rb"/CFM\s*/([A-Za-z0-9]+)")
+_STMF_RE = re.compile(rb"/StmF\s*/([A-Za-z0-9]+)")
+
+
 def _build_decryptor(enc_src: bytes, file_id: bytes):
     """(num, gen, bytes) → bytes stream decryptor for the standard
     security handler with the EMPTY user password, or PdfParseError
     (permanent) for everything this scope excludes: a missing/garbled
-    /Encrypt dict, a non-Standard handler, V≥4 (AES), or a /U that the
-    empty-password key fails to reproduce (a real user password)."""
+    /Encrypt dict, a non-Standard handler, or a /U that the
+    empty-password key fails to reproduce (a real user password).
+    Supported modes: V1/V2 RC4 (R2/R3), V4 crypt filters /V2 (RC4) and
+    /AESV2 (AES-128-CBC, R4), V5 /AESV3 (AES-256-CBC, R5/R6)."""
     if not enc_src:
         raise PdfParseError("encrypted document (no decryption support)")
     if not re.search(rb"/Filter\s*/Standard\b", enc_src):
@@ -678,20 +742,44 @@ def _build_decryptor(enc_src: bytes, file_id: bytes):
     o = _dict_pdf_string(enc_src, b"O")
     u = _dict_pdf_string(enc_src, b"U")
     p = _int_key(enc_src, b"P", -1)
-    if v not in (1, 2) or r not in (2, 3) or len(o) < 32 or len(u) < 32:
+    if v == 5 and r in (5, 6):
+        return _build_decryptor_v5(enc_src, r)
+    cfm = b"V2"  # V1/V2: plain RC4 (no crypt filters)
+    if v == 4:
+        if r != 4:
+            raise PdfParseError(
+                f"encrypted document (unsupported handler V={v} R={r})"
+            )
+        sm = _STMF_RE.search(enc_src)
+        stmf = sm.group(1) if sm else b"Identity"  # spec default
+        if stmf == b"Identity":
+            return lambda num, gen, data: data  # streams not encrypted
+        cm = _CFM_RE.search(enc_src)
+        cfm = cm.group(1) if cm else b""
+        if cfm not in (b"V2", b"AESV2"):
+            raise PdfParseError(
+                "encrypted document (unsupported crypt filter "
+                + cfm.decode("ascii", "replace") + ")"
+            )
+    elif v not in (1, 2) or r not in (2, 3):
+        raise PdfParseError(
+            f"encrypted document (unsupported handler V={v} R={r})"
+        )
+    if len(o) < 32 or len(u) < 32:
         raise PdfParseError(
             f"encrypted document (unsupported handler V={v} R={r})"
         )
     n = 5 if v == 1 else max(5, min(16, length // 8))
     # Algorithm 2: file key from the (empty → pad string) user password
-    md = hashlib.md5(
-        _PAD + o[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + file_id
-    ).digest()
+    seed = _PAD + o[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + file_id
+    if v == 4 and re.search(rb"/EncryptMetadata\s+false\b", enc_src):
+        seed += b"\xff\xff\xff\xff"
+    md = hashlib.md5(seed).digest()
     if r >= 3:
         for _ in range(50):
             md = hashlib.md5(md[:n]).digest()
     key = md[:n]
-    # Algorithm 4 (R=2) / 5 (R=3): reproduce /U; mismatch ⇒ real password
+    # Algorithm 4 (R=2) / 5 (R≥3): reproduce /U; mismatch ⇒ real password
     if r == 2:
         ok = _rc4(key, _PAD) == u[:32]
     else:
@@ -701,6 +789,27 @@ def _build_decryptor(enc_src: bytes, file_id: bytes):
         ok = ucalc == u[:16]
     if not ok:
         raise PdfParseError("encrypted document (user password required)")
+
+    if cfm == b"AESV2":
+        from .cryptokit import aes_cbc_decrypt, strip_pkcs7
+
+        def decrypt_aes(num: int, gen: int, data: bytes,
+                        _key=key, _n=n) -> bytes:
+            # §7.6.2: per-object key = MD5(key + num3 + gen2 + "sAlT"),
+            # AES-128-CBC with the stream's first 16 bytes as IV
+            objkey = hashlib.md5(
+                _key
+                + (num & 0xFFFFFF).to_bytes(3, "little")
+                + (gen & 0xFFFF).to_bytes(2, "little")
+                + b"sAlT"
+            ).digest()[: min(_n + 5, 16)]
+            if len(data) < 16:
+                return b""
+            return strip_pkcs7(
+                aes_cbc_decrypt(objkey, data[:16], data[16:])
+            )
+
+        return decrypt_aes
 
     def decrypt(num: int, gen: int, data: bytes,
                 _key=key, _n=n) -> bytes:

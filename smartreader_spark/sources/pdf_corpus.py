@@ -14,6 +14,7 @@ scale" requirement for the input table).
 
 from __future__ import annotations
 
+import functools as _functools
 import zlib
 
 _LOREM = [
@@ -228,10 +229,184 @@ def _rc4_w(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
-def _encryption_assets(i: int, rev: int) -> tuple[bytes, bytes, bytes, int]:
-    """(encrypt dict body, file ID, file key, key length n) for doc `i`
-    under revision `rev` (2 = V1/RC4-40, 3 = V2/RC4-128), empty owner
-    and user passwords (permissions-only encryption, P = -44)."""
+# --- writer-side AES (forward cipher only; independent of kernel/
+# cryptokit.py — inverse-via-pow + bitwise affine instead of exp/log
+# tables + rotate-accumulate, so the encrypt→decrypt round trip stays a
+# differential test) -------------------------------------------------------
+
+def _gmul_w(a: int, b: int) -> int:
+    r = 0
+    for _ in range(8):
+        if b & 1:
+            r ^= a
+        hi = a & 0x80
+        a = (a << 1) & 0xFF
+        if hi:
+            a ^= 0x1B
+        b >>= 1
+    return r
+
+
+def _sbox_w() -> bytes:
+    def gpow(c: int, e: int) -> int:
+        r = 1
+        while e:
+            if e & 1:
+                r = _gmul_w(r, c)
+            c = _gmul_w(c, c)
+            e >>= 1
+        return r
+
+    sb = bytearray(256)
+    for c in range(256):
+        b = 0 if c == 0 else gpow(c, 254)  # multiplicative inverse
+        s = 0
+        for i in range(8):  # bitwise affine: s_i = b_i^b_{i+4}^…^c_i
+            bit = ((b >> i) ^ (b >> ((i + 4) % 8)) ^ (b >> ((i + 5) % 8))
+                   ^ (b >> ((i + 6) % 8)) ^ (b >> ((i + 7) % 8))
+                   ^ (0x63 >> i)) & 1
+            s |= bit << i
+        sb[c] = s
+    return bytes(sb)
+
+
+_SBOX_W = _sbox_w()
+
+
+def _ttables_w() -> list[list[int]]:
+    """Fused SubBytes+MixColumns tables from the writer's OWN S-box and
+    GF multiply (speed layout; the derivation chain stays independent of
+    kernel/cryptokit)."""
+    tabs: list[list[int]] = [[0] * 256 for _ in range(4)]
+    rows = ((2, 1, 1, 3), (3, 2, 1, 1), (1, 3, 2, 1), (1, 1, 3, 2))
+    for x in range(256):
+        sb = _SBOX_W[x]
+        for r in range(4):
+            a, b, c, d = rows[r]
+            tabs[r][x] = ((_gmul_w(sb, a) << 24) | (_gmul_w(sb, b) << 16)
+                          | (_gmul_w(sb, c) << 8) | _gmul_w(sb, d))
+    return tabs
+
+
+_T0_W, _T1_W, _T2_W, _T3_W = _ttables_w()
+
+
+def _expand_w(key: bytes) -> list[int]:
+    """Key schedule → packed 32-bit round-key words."""
+    nk = len(key) // 4
+    nr = nk + 6
+    rcon = 1
+    w = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
+    for i in range(nk, 4 * (nr + 1)):
+        t = list(w[i - 1])
+        if i % nk == 0:
+            t = [_SBOX_W[t[1]], _SBOX_W[t[2]], _SBOX_W[t[3]], _SBOX_W[t[0]]]
+            t[0] ^= rcon
+            rcon = _gmul_w(rcon, 2)
+        elif nk == 8 and i % nk == 4:
+            t = [_SBOX_W[b] for b in t]
+        w.append([a ^ b for a, b in zip(w[i - nk], t)])
+    return [(a << 24) | (b << 16) | (c << 8) | d for a, b, c, d in w]
+
+
+def _enc_block_packed_w(block: bytes, pw: list[int], nr: int) -> bytes:
+    s0 = int.from_bytes(block[0:4], "big") ^ pw[0]
+    s1 = int.from_bytes(block[4:8], "big") ^ pw[1]
+    s2 = int.from_bytes(block[8:12], "big") ^ pw[2]
+    s3 = int.from_bytes(block[12:16], "big") ^ pw[3]
+    for rnd in range(1, nr):
+        k = 4 * rnd
+        t0 = (_T0_W[(s0 >> 24) & 0xFF] ^ _T1_W[(s1 >> 16) & 0xFF]
+              ^ _T2_W[(s2 >> 8) & 0xFF] ^ _T3_W[s3 & 0xFF] ^ pw[k])
+        t1 = (_T0_W[(s1 >> 24) & 0xFF] ^ _T1_W[(s2 >> 16) & 0xFF]
+              ^ _T2_W[(s3 >> 8) & 0xFF] ^ _T3_W[s0 & 0xFF] ^ pw[k + 1])
+        t2 = (_T0_W[(s2 >> 24) & 0xFF] ^ _T1_W[(s3 >> 16) & 0xFF]
+              ^ _T2_W[(s0 >> 8) & 0xFF] ^ _T3_W[s1 & 0xFF] ^ pw[k + 2])
+        t3 = (_T0_W[(s3 >> 24) & 0xFF] ^ _T1_W[(s0 >> 16) & 0xFF]
+              ^ _T2_W[(s1 >> 8) & 0xFF] ^ _T3_W[s2 & 0xFF] ^ pw[k + 3])
+        s0, s1, s2, s3 = t0, t1, t2, t3
+    out = bytearray(16)
+    src = (s0, s1, s2, s3)
+    k = 4 * nr
+    for c in range(4):
+        w = pw[k + c]
+        out[4 * c + 0] = _SBOX_W[(src[c] >> 24) & 0xFF] ^ ((w >> 24) & 0xFF)
+        out[4 * c + 1] = (_SBOX_W[(src[(c + 1) % 4] >> 16) & 0xFF]
+                          ^ ((w >> 16) & 0xFF))
+        out[4 * c + 2] = (_SBOX_W[(src[(c + 2) % 4] >> 8) & 0xFF]
+                          ^ ((w >> 8) & 0xFF))
+        out[4 * c + 3] = _SBOX_W[src[(c + 3) % 4] & 0xFF] ^ (w & 0xFF)
+    return bytes(out)
+
+
+def _aes_enc_block_w(key: bytes, block: bytes) -> bytes:
+    return _enc_block_packed_w(block, _expand_w(key), len(key) // 4 + 6)
+
+
+try:  # native bulk path (same rationale as kernel/cryptokit: Algorithm
+    # 2.B costs ~10k blocks per fresh salt — seconds in pure Python,
+    # <1 ms native); the pure core above remains the FIPS-pinned anchor
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher as _Cipher_w,
+        algorithms as _algorithms_w,
+        modes as _modes_w,
+    )
+
+    _HAVE_NATIVE_W = True
+except ImportError:  # pragma: no cover
+    _HAVE_NATIVE_W = False
+
+
+def _aes_cbc_enc_pure_w(key: bytes, iv: bytes, data: bytes) -> bytes:
+    pw = _expand_w(key)  # expand ONCE per call, not per block
+    nr = len(key) // 4 + 6
+    out = bytearray()
+    prev = iv
+    for k in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[k : k + 16], prev))
+        prev = _enc_block_packed_w(blk, pw, nr)
+        out += prev
+    return bytes(out)
+
+
+def _aes_cbc_enc_w(key: bytes, iv: bytes, data: bytes) -> bytes:
+    if _HAVE_NATIVE_W:
+        enc = _Cipher_w(
+            _algorithms_w.AES(key), _modes_w.CBC(iv)
+        ).encryptor()
+        return enc.update(data) + enc.finalize()
+    return _aes_cbc_enc_pure_w(key, iv, data)
+
+
+def _aes_stream_w(key: bytes, iv: bytes, payload: bytes) -> bytes:
+    """PDF AES stream form: IV ‖ CBC(PKCS#7-padded payload)."""
+    pad = 16 - len(payload) % 16
+    return iv + _aes_cbc_enc_w(key, iv, payload + bytes([pad]) * pad)
+
+
+def _hash_2b_w(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """Writer-side ISO 32000-2 Algorithm 2.B (same termination as the
+    reader: exit when completed rounds ≥ 64 and E[-1] ≤ rounds − 32)."""
+    import hashlib
+
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pwd + k + udata) * 64
+        e = _aes_cbc_enc_w(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[
+            sum(e[:16]) % 3
+        ](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+@_functools.lru_cache(maxsize=64)
+def _encryption_assets(i: int, rev: int) -> tuple[bytes, bytes, "object"]:
+    """(encrypt dict body, file ID, per-object stream encryptor) for doc
+    `i` under revision `rev` (2 = V1/RC4-40, 3 = V2/RC4-128), empty
+    owner and user passwords (permissions-only encryption, P = -44)."""
     import hashlib
 
     length = 40 if rev == 2 else 128
@@ -270,7 +445,99 @@ def _encryption_assets(i: int, rev: int) -> tuple[bytes, bytes, bytes, int]:
         % (1 if rev == 2 else 2, rev, length, p,
            o.hex().encode("ascii"), u.hex().encode("ascii"))
     )
-    return body, fid, key, n
+
+    def enc_fn(num: int, payload: bytes, _k=key, _n=n) -> bytes:
+        return _rc4_w(_objkey_w(_k, _n, num), payload)
+
+    return body, fid, enc_fn
+
+
+@_functools.lru_cache(maxsize=64)
+def _encryption_assets_aesv2(i: int) -> tuple[bytes, bytes, "object"]:
+    """V4/R4 crypt-filter encryption (/StdCF /CFM /AESV2, AES-128-CBC),
+    empty passwords. /O and /U follow the same Algorithms 3 and 5 as
+    R=3 (R=4 reuses them); streams are IV-prefixed PKCS#7 CBC under the
+    per-object MD5(key+num+gen+"sAlT") key (§7.6.2)."""
+    import hashlib
+
+    n = 16
+    fid = hashlib.md5(b"smartreader-pdf-id-%d" % i).digest()
+    p = -44
+    okd = hashlib.md5(_W_PAD).digest()
+    for _ in range(50):
+        okd = hashlib.md5(okd).digest()
+    okey = okd[:n]
+    o = _rc4_w(okey, _W_PAD)
+    for k in range(1, 20):
+        o = _rc4_w(bytes(b ^ k for b in okey), o)
+    md = hashlib.md5(
+        _W_PAD + o + (p & 0xFFFFFFFF).to_bytes(4, "little") + fid
+    ).digest()
+    for _ in range(50):
+        md = hashlib.md5(md[:n]).digest()
+    key = md[:n]
+    u = _rc4_w(key, hashlib.md5(_W_PAD + fid).digest())
+    for k in range(1, 20):
+        u = _rc4_w(bytes(b ^ k for b in key), u)
+    u += b"\x00" * 16
+    body = (
+        b"<< /Filter /Standard /V 4 /R 4 /Length 128 /P %d "
+        b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+        b"/Length 16 >> >> /StmF /StdCF /StrF /StdCF "
+        b"/O <%s> /U <%s> >>"
+        % (p, o.hex().encode("ascii"), u.hex().encode("ascii"))
+    )
+
+    def enc_fn(num: int, payload: bytes, _k=key, _i=i) -> bytes:
+        objkey = hashlib.md5(
+            _k + num.to_bytes(3, "little") + b"\x00\x00" + b"sAlT"
+        ).digest()[:16]
+        iv = hashlib.md5(b"smartreader-aes-iv-%d-%d" % (_i, num)).digest()
+        return _aes_stream_w(objkey, iv, payload)
+
+    return body, fid, enc_fn
+
+
+@_functools.lru_cache(maxsize=64)
+def _encryption_assets_aes256(i: int) -> tuple[bytes, bytes, "object"]:
+    """V5/R6 (/AESV3, AES-256-CBC) with empty passwords: /U carries
+    hash-2.B(validation salt) + salts, /UE the file key wrapped under
+    the 2.B key-salt hash; /O//OE the owner twins (udata = /U); /Perms
+    the AES-ECB permissions block. Streams: IV-prefixed PKCS#7 CBC
+    under the FILE key directly (ISO 32000-2 §7.6.4.3)."""
+    import hashlib
+
+    fid = hashlib.md5(b"smartreader-pdf-id-%d" % i).digest()
+    p = -44
+    fkey = hashlib.sha256(b"smartreader-aes256-filekey-%d" % i).digest()
+    vsalt = hashlib.sha256(b"smartreader-vs-%d" % i).digest()[:8]
+    ksalt = hashlib.sha256(b"smartreader-ks-%d" % i).digest()[:8]
+    u = _hash_2b_w(b"", vsalt) + vsalt + ksalt
+    ue = _aes_cbc_enc_w(_hash_2b_w(b"", ksalt), b"\x00" * 16, fkey)
+    ovs = hashlib.sha256(b"smartreader-ovs-%d" % i).digest()[:8]
+    oks = hashlib.sha256(b"smartreader-oks-%d" % i).digest()[:8]
+    o = _hash_2b_w(b"", ovs, u) + ovs + oks
+    oe = _aes_cbc_enc_w(_hash_2b_w(b"", oks, u), b"\x00" * 16, fkey)
+    perms = _aes_enc_block_w(
+        fkey,
+        (p & 0xFFFFFFFF).to_bytes(4, "little")
+        + b"\xff\xff\xff\xff" + b"T" + b"adb" + b"smtr",
+    )
+    body = (
+        b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P %d "
+        b"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen "
+        b"/Length 32 >> >> /StmF /StdCF /StrF /StdCF "
+        b"/O <%s> /U <%s> /OE <%s> /UE <%s> /Perms <%s> >>"
+        % (p, o.hex().encode("ascii"), u.hex().encode("ascii"),
+           oe.hex().encode("ascii"), ue.hex().encode("ascii"),
+           perms.hex().encode("ascii"))
+    )
+
+    def enc_fn(num: int, payload: bytes, _k=fkey, _i=i) -> bytes:
+        iv = hashlib.md5(b"smartreader-aes-iv-%d-%d" % (_i, num)).digest()
+        return _aes_stream_w(_k, iv, payload)
+
+    return body, fid, enc_fn
 
 
 def _objkey_w(key: bytes, n: int, num: int) -> bytes:
@@ -291,19 +558,19 @@ _ENC_NUM, _OBJSTM_NUM, _XREF_NUM = 22, 23, 24
 
 def _emit_classic(dicts: list[tuple[int, bytes]],
                   streams: list[tuple[int, bytes, bytes]],
-                  enc: tuple[bytes, bytes, bytes, int] | None) -> bytes:
+                  enc: tuple[bytes, bytes, "object"] | None) -> bytes:
     """Classic PDF 1.4 assembly: every object top-level, table xref,
     `trailer` dict (+ /Encrypt + /ID when encrypting)."""
     items = [(num, _obj(num, body)) for num, body in dicts]
     for num, extra, payload in streams:
         if enc is not None:
-            payload = _rc4_w(_objkey_w(enc[2], enc[3], num), payload)
+            payload = enc[2](num, payload)
         items.append((num, _obj(
             num, b"<< %s/Length %d >>\nstream\n%s\nendstream"
             % (extra, len(payload), payload))))
     trailer_extra = b""
     if enc is not None:
-        body, fid, _key, _n = enc
+        body, fid, _fn = enc
         items.append((_ENC_NUM, _obj(_ENC_NUM, body)))
         fh = fid.hex().encode("ascii")
         trailer_extra = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (_ENC_NUM, fh, fh)
@@ -324,7 +591,7 @@ def _emit_classic(dicts: list[tuple[int, bytes]],
 
 def _emit_objstm(dicts: list[tuple[int, bytes]],
                  streams: list[tuple[int, bytes, bytes]],
-                 enc: tuple[bytes, bytes, bytes, int] | None) -> bytes:
+                 enc: tuple[bytes, bytes, "object"] | None) -> bytes:
     """PDF 1.5 compressed-object assembly: every non-stream object packed
     into ONE Flate-compressed /Type /ObjStm; cross references in a
     /Type /XRef stream (W [1 3 2] rows, PNG Predictor-12, type-1 rows for
@@ -340,7 +607,7 @@ def _emit_objstm(dicts: list[tuple[int, bytes]],
     payload = header + b"".join(body + b"\n" for _num, body in dicts)
     stm = zlib.compress(payload)
     if enc is not None:
-        stm = _rc4_w(_objkey_w(enc[2], enc[3], _OBJSTM_NUM), stm)
+        stm = enc[2](_OBJSTM_NUM, stm)
     objstm_obj = _obj(_OBJSTM_NUM, (
         b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode "
         b"/Length %d >>\nstream\n%s\nendstream"
@@ -348,13 +615,13 @@ def _emit_objstm(dicts: list[tuple[int, bytes]],
     items = [(_OBJSTM_NUM, objstm_obj)]
     for num, extra, data in streams:
         if enc is not None:
-            data = _rc4_w(_objkey_w(enc[2], enc[3], num), data)
+            data = enc[2](num, data)
         items.append((num, _obj(
             num, b"<< %s/Length %d >>\nstream\n%s\nendstream"
             % (extra, len(data), data))))
     id_extra = b""
     if enc is not None:
-        body, fid, _key, _n = enc
+        body, fid, _fn = enc
         items.append((_ENC_NUM, _obj(_ENC_NUM, body)))
         fh = fid.hex().encode("ascii")
         id_extra = b"/Encrypt %d 0 R /ID [<%s> <%s>] " % (_ENC_NUM, fh, fh)
@@ -451,15 +718,22 @@ def _type0_assets(i: int) -> tuple[str, bytes, bytes]:
 def assembly_variant(doc_idx: int) -> str:
     """How doc `doc_idx` is physically assembled (test hook):
     ``classic`` (PDF 1.4 table xref), ``objstm`` (PDF 1.5 compressed
-    objects + xref stream), ``classic+rc4-40`` / ``objstm+rc4-128``
-    (standard security handler, empty user password). Period-8 cycle:
-    docs 0,2,4,6 classic; 1,5 objstm; 3 classic+rc4-40;
-    7 objstm+rc4-128."""
-    if doc_idx % 4 == 3:
-        if (doc_idx // 4) % 2:
-            return "objstm+rc4-128"
+    objects + xref stream), and the standard-security-handler empty-
+    user-password encryption modes ``classic+rc4-40`` /
+    ``objstm+rc4-128`` / ``classic+aesv2`` (V4/R4 crypt filter) /
+    ``objstm+aes256`` (V5/R6 /AESV3). Period-8 cycle: docs 0,2 classic;
+    1,5 objstm; 3 classic+rc4-40; 7 objstm+rc4-128; 4 classic+aesv2;
+    6 objstm+aes256."""
+    m = doc_idx % 8
+    if m == 3:
         return "classic+rc4-40"
-    if doc_idx % 4 == 1:
+    if m == 7:
+        return "objstm+rc4-128"
+    if m == 4:
+        return "classic+aesv2"
+    if m == 6:
+        return "objstm+aes256"
+    if m in (1, 5):
         return "objstm"
     return "classic"
 
@@ -584,6 +858,10 @@ def make_pdf(doc_idx: int, variant: str | None = None) -> bytes:
     enc = None
     if "rc4" in variant:
         enc = _encryption_assets(i, rev=2 if variant.endswith("40") else 3)
+    elif "aesv2" in variant:
+        enc = _encryption_assets_aesv2(i)
+    elif "aes256" in variant:
+        enc = _encryption_assets_aes256(i)
     if variant.startswith("objstm"):
         return _emit_objstm(dicts, streams, enc)
     return _emit_classic(dicts, streams, enc)

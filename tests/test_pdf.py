@@ -517,11 +517,15 @@ def test_assembly_variants_twin_equivalence():
     assert assembly_variant(1) == "objstm"
     assert assembly_variant(3) == "classic+rc4-40"
     assert assembly_variant(7) == "objstm+rc4-128"
+    assert assembly_variant(4) == "classic+aesv2"
+    assert assembly_variant(6) == "objstm+aes256"
     for i in (0, 3, 7):
         base = pdf_to_spans(make_pdf(i))
         for variant in ("classic", "objstm", "classic+rc4-40",
                         "objstm+rc4-128", "objstm+rc4-40",
-                        "classic+rc4-128"):
+                        "classic+rc4-128", "classic+aesv2",
+                        "objstm+aesv2", "classic+aes256",
+                        "objstm+aes256"):
             assert pdf_to_spans(make_pdf(i, variant)) == base, (i, variant)
 
 
@@ -580,8 +584,8 @@ def test_rc4_real_password_rejected():
     bad = pdf.replace(m.group(0), b"/U <" + b"00" * 32 + b">")
     with pytest.raises(PdfParseError, match="password required"):
         pdf_to_spans(bad)
-    # V≥4 (AES) stays out of scope — rejected, not garbled
-    bad2 = pdf.replace(b"/V 1 /R 2", b"/V 4 /R 4")
+    # an unknown future handler version stays rejected, not garbled
+    bad2 = pdf.replace(b"/V 1 /R 2", b"/V 6 /R 7")
     with pytest.raises(PdfParseError, match="unsupported handler"):
         pdf_to_spans(bad2)
 
@@ -657,3 +661,131 @@ def test_rc4_vector():
     assert _rc4(key, pt) == ct
     assert _rc4_w(key, pt) == ct
     assert _rc4(key, ct) == pt
+
+
+def test_aes_fips197_vectors():
+    """Both independent AES implementations (kernel/cryptokit.py inverse
+    +forward, pdf_corpus writer forward-only) are pinned to the FIPS-197
+    Appendix C known-answer vectors for all three key sizes — real
+    cipher, not merely mutual agreement."""
+    from smartreader_spark.kernel.cryptokit import (
+        aes_decrypt_block,
+        aes_encrypt_block,
+        aes_cbc_decrypt,
+        aes_cbc_encrypt,
+    )
+    from smartreader_spark.sources.pdf_corpus import _aes_enc_block_w
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    vectors = [
+        ("000102030405060708090a0b0c0d0e0f",
+         "69c4e0d86a7b0430d8cdb78070b4c55a"),
+        ("000102030405060708090a0b0c0d0e0f1011121314151617",
+         "dda97ca4864cdfe06eaf70a0ec0d7191"),
+        ("000102030405060708090a0b0c0d0e0f"
+         "101112131415161718191a1b1c1d1e1f",
+         "8ea2b7ca516745bfeafc49904b496089"),
+    ]
+    for kh, ch in vectors:
+        key, ct = bytes.fromhex(kh), bytes.fromhex(ch)
+        assert aes_encrypt_block(key, pt) == ct
+        assert _aes_enc_block_w(key, pt) == ct
+        assert aes_decrypt_block(key, ct) == pt
+    iv, data = bytes(range(16)), bytes(range(128, 176))
+    key = bytes.fromhex(vectors[2][0])
+    assert aes_cbc_decrypt(key, iv, aes_cbc_encrypt(key, iv, data)) == data
+
+
+def test_hash_2b_reader_writer_differential():
+    """ISO 32000-2 Algorithm 2.B: the reader's and writer's independent
+    implementations (built on the two independent AES cores) agree on
+    key-salt and udata-bearing (owner-twin) inputs."""
+    from smartreader_spark.kernel.pdfkit import _hash_2b
+    from smartreader_spark.sources.pdf_corpus import _hash_2b_w
+
+    for salt, udata in [
+        (b"\x00" * 8, b""),
+        (b"saltsalt", b""),
+        (bytes(range(8)), b"u" * 48),
+    ]:
+        h1, h2 = _hash_2b(b"", salt, udata), _hash_2b_w(b"", salt, udata)
+        assert h1 == h2 and len(h1) == 32
+
+
+def test_aes_encrypted_twin_equivalence():
+    """AESV2 (V4/R4) and AESV3 (V5/R6) corpus docs decrypt to spans
+    byte-identical to their plaintext twins, and the ciphertext really
+    differs on disk (the encryption isn't a no-op)."""
+    for i, plain_variant in ((4, "classic"), (6, "objstm")):
+        enc_blob = make_pdf(i)
+        plain_blob = make_pdf(i, plain_variant)
+        assert enc_blob != plain_blob
+        assert b"/Encrypt" in enc_blob
+        assert pdf_to_spans(enc_blob) == pdf_to_spans(plain_blob), i
+    # AESV3 over ObjStm: the compressed container itself was encrypted,
+    # so the raw bytes expose neither page dicts nor the lorem text
+    blob6 = make_pdf(6)
+    assert b"/Type /Page " not in blob6 and b"Document 6" not in blob6
+
+
+def test_aes_native_pure_differential():
+    """The native (OpenSSL) CBC fast path and the FIPS-pinned pure path
+    agree byte-for-byte both directions across key sizes and lengths —
+    the gate that lets production route bulk AES through OpenSSL while
+    the spec anchor stays the pure core."""
+    from smartreader_spark.kernel import cryptokit as ck
+
+    if not ck._HAVE_NATIVE:
+        pytest.skip("cryptography not available; pure path is the only path")
+    rnd = __import__("random").Random(0xAE5)
+    for ksz in (16, 24, 32):
+        for nblk in (1, 3, 17):
+            key = bytes(rnd.randrange(256) for _ in range(ksz))
+            iv = bytes(rnd.randrange(256) for _ in range(16))
+            data = bytes(rnd.randrange(256) for _ in range(16 * nblk))
+            ct = ck.aes_cbc_encrypt(key, iv, data)
+            assert ct == ck.aes_cbc_encrypt_pure(key, iv, data)
+            assert ck.aes_cbc_decrypt(key, iv, ct) == data
+            assert ck.aes_cbc_decrypt_pure(key, iv, ct) == data
+
+
+def test_aes_pure_fallback_twin_equivalence(monkeypatch):
+    """With the native path forced off on BOTH sides (reader cryptokit
+    and writer corpus), an AES-256 ObjStm doc still decrypts to its
+    plaintext twin — the fallback is production-equivalent, and the
+    writer's independent forward core round-trips against the reader's
+    inverse core end to end."""
+    from smartreader_spark.kernel import cryptokit as ck
+    from smartreader_spark.kernel import pdfkit
+    from smartreader_spark.sources import pdf_corpus as pc
+
+    monkeypatch.setattr(ck, "_HAVE_NATIVE", False)
+    monkeypatch.setattr(pc, "_HAVE_NATIVE_W", False)
+    pdfkit._hash_2b.cache_clear()
+    pc._encryption_assets_aes256.cache_clear()
+    try:
+        enc_blob = pc.make_pdf(6)
+        assert b"/Encrypt" in enc_blob
+        assert pdf_to_spans(enc_blob) == pdf_to_spans(pc.make_pdf(6, "objstm"))
+    finally:
+        pdfkit._hash_2b.cache_clear()
+        pc._encryption_assets_aes256.cache_clear()
+
+
+def test_aes_real_password_rejected():
+    """A real user password on either AES mode (i.e. a /U the empty
+    password cannot validate) stays a permanent PdfParseError; an
+    unknown V4 crypt filter method is likewise rejected, never
+    garbled."""
+    import re
+
+    for i, ulen in ((4, 32 + 16), (6, 48)):
+        blob = make_pdf(i)
+        m = re.search(rb"/U <([0-9a-f]+)>", blob)
+        bad = blob[: m.start(1)] + b"00" * ulen + blob[m.end(1) :]
+        with pytest.raises(PdfParseError, match="password required"):
+            pdf_to_spans(bad)
+    blob = make_pdf(4)
+    bad = blob.replace(b"/CFM /AESV2", b"/CFM /AESV9")
+    with pytest.raises(PdfParseError, match="crypt filter"):
+        pdf_to_spans(bad)
