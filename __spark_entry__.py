@@ -83,6 +83,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         brute_force_topk,
         lsh_bucketed_topk,
     )
+    from smartreader_spark.functions.curation import (
+        dedup_chunks_corpus,
+        repetition_scores,
+        source_cap_sample,
+    )
     from smartreader_spark.functions.textqa import (
         bpe_token_counts,
         doc_fingerprints,
@@ -421,6 +426,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": quality_scores,
         "language_guess": language_guess,
         "doc_fingerprints": doc_fingerprints,
+        # corpus-curation ops (oracled): repetition quality, passage
+        # dedup, per-source caps — functions/curation.py
+        "repetition_scores": repetition_scores,
+        "dedup_chunks_corpus": dedup_chunks_corpus,
+        "source_cap_sample": source_cap_sample,
     }
 
 
@@ -588,6 +598,16 @@ def oracle_sql() -> dict[str, str]:
     # b×r MinHash banding (functions/dedup.py MINHASH_BANDS/ROWS): band
     # signature = concat of the r 8-hex-char md5 slices, min'd per slice
     from smartreader_spark.functions.dedup import MINHASH_BANDS, MINHASH_ROWS
+
+    # corpus-curation constants (functions/curation.py — one source of
+    # truth for chunk width, cap, salt and the Gopher-style thresholds)
+    from smartreader_spark.functions.curation import (
+        CAP_SALT,
+        CHUNK_TOKENS,
+        DUP_TRIGRAM_MAX,
+        SOURCE_CAP,
+        TOP_BIGRAM_MAX,
+    )
 
     mh_sig = " || ".join(
         "list_min(list_transform(shingles, "
@@ -1007,5 +1027,83 @@ def oracle_sql() -> dict[str, str]:
                        substr(norm, CAST(floor(length(norm) / 2) AS INT) + 1, 64)) AS fp_sketch
             FROM t
             ORDER BY doc_id
+        """,
+        # --- corpus-curation ops (functions/curation.py) ----------------
+        "repetition_scores": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), g AS (
+              SELECT doc_id, 2 AS k, toks[i] || ' ' || toks[i + 1] AS gram
+              FROM (SELECT doc_id, toks,
+                           unnest(range(1, len(toks))) AS i FROM t)
+              UNION ALL
+              SELECT doc_id, 3 AS k,
+                     toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS gram
+              FROM (SELECT doc_id, toks,
+                           unnest(range(1, len(toks) - 1)) AS i FROM t)
+            ), cnt AS (
+              SELECT doc_id, k, gram, count(*) AS c FROM g GROUP BY ALL
+            ), per AS (
+              SELECT doc_id,
+                     max(CASE WHEN k = 2 THEN c END) AS top2,
+                     CAST(sum(CASE WHEN k = 2 THEN c END) AS BIGINT) AS tot2,
+                     CAST(sum(CASE WHEN k = 2 AND c > 1 THEN c END) AS BIGINT) AS dup2,
+                     CAST(sum(CASE WHEN k = 3 THEN c END) AS BIGINT) AS tot3,
+                     CAST(sum(CASE WHEN k = 3 AND c > 1 THEN c END) AS BIGINT) AS dup3
+              FROM cnt GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   len({_TOKS}) AS n_tokens,
+                   round(coalesce(top2::DOUBLE / tot2, 0.0), 6) AS top_bigram_frac,
+                   round(coalesce(coalesce(dup2, 0)::DOUBLE / tot2, 0.0), 6) AS dup_bigram_frac,
+                   round(coalesce(coalesce(dup3, 0)::DOUBLE / tot3, 0.0), 6) AS dup_trigram_frac,
+                   (coalesce(top2::DOUBLE / tot2, 0.0) <= {TOP_BIGRAM_MAX}
+                    AND coalesce(coalesce(dup3, 0)::DOUBLE / tot3, 0.0)
+                        <= {DUP_TRIGRAM_MAX}) AS passes_repetition
+            FROM documents d LEFT JOIN per USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "dedup_chunks_corpus": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), h AS (
+              SELECT doc_id,
+                     md5(array_to_string(
+                         toks[i * {CHUNK_TOKENS} + 1 : i * {CHUNK_TOKENS} + {CHUNK_TOKENS}],
+                         ' ')) AS h
+              FROM (SELECT doc_id, toks,
+                           unnest(range(0, CAST(floor(len(toks) / {CHUNK_TOKENS}) AS INT))) AS i
+                    FROM t WHERE len(toks) >= {CHUNK_TOKENS})
+            ), occ AS (
+              SELECT doc_id, count(*) OVER (PARTITION BY h) AS c FROM h
+            ), per AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS nc,
+                     CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS nd
+              FROM occ GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(nc, 0) AS n_chunks,
+                   coalesce(nd, 0) AS n_dup_chunks,
+                   round(CASE WHEN coalesce(nc, 0) > 0
+                              THEN nd::DOUBLE / nc ELSE 0.0 END, 6) AS dup_chunk_frac,
+                   (CASE WHEN coalesce(nc, 0) > 0
+                         THEN nd::DOUBLE / nc ELSE 0.0 END) <= 0.5 AS keep_doc
+            FROM documents d LEFT JOIN per USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "source_cap_sample": f"""
+            WITH ranked AS (
+              SELECT doc_id, source,
+                     md5('{CAP_SALT}' || '|' || CAST(doc_id AS VARCHAR)) AS samp_key,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('{CAP_SALT}' || '|' || CAST(doc_id AS VARCHAR))
+                     ) AS rank_in_source
+              FROM documents
+            )
+            SELECT doc_id, source, rank_in_source
+            FROM ranked WHERE rank_in_source <= {SOURCE_CAP}
+            ORDER BY source, rank_in_source
         """,
     }

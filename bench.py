@@ -73,6 +73,10 @@ ANALYTICAL = [
     "dedup_embedding_cosine",
     "ann_brute_force",
     "ann_lsh_bucketed",
+    # r6 corpus-curation ops (functions/curation.py)
+    "repetition_scores",
+    "dedup_chunks_corpus",
+    "source_cap_sample",
 ]
 
 

@@ -1,0 +1,188 @@
+"""Corpus-curation operators over the `documents` table: the filters a
+large-scale training-data pipeline runs AFTER extraction and BEFORE
+tokenization — repetition-based quality (the Gopher family of filters),
+cross-document passage dedup (token-chunk granularity, the tractable
+approximation of suffix-array substring dedup), and deterministic
+per-source caps (the per-domain quota step of CC-style curation).
+
+All three are pure built-in-expression plans (zero Python nodes):
+
+* repetition_scores — per-doc word-2-gram/3-gram repetition fractions.
+  Shuffles only on (doc_id, k, gram) then doc_id — both doc-local keys,
+  so at 100 TB the reduction is embarrassingly parallel (no hot keys
+  beyond the largest single document, which the Arrow batch cap already
+  bounds upstream).
+* dedup_chunks_corpus — non-overlapping 8-token chunks are md5-hashed
+  and counted corpus-wide; a doc's duplicated-chunk fraction drives a
+  keep/drop flag. One shuffle on the fixed-width chunk digest (the same
+  width-bounded-shuffle-key argument as exact dedup); the occurrence
+  count is a window over that key, not a self-join.
+* source_cap_sample — deterministic top-K rows per source ordered by a
+  salted md5 of the doc id (a stable pseudo-random draw, so re-runs and
+  both engines agree). rank<=K over a window lets Spark's
+  WindowGroupLimit push the limit below the sort at each partition —
+  per-source state is K rows, not the source's full document list. At
+  100 TB a skewed mega-source is bounded the same way (top-K heaps on
+  the map side); if a single source exceeded a partition, the standard
+  salt-then-re-rank two-phase applies.
+
+The reference engine (SmartReader) has no corpus-curation analog —
+these extend the extraction engine toward the training-data pipeline
+per the build brief; the repetition thresholds follow the published
+Gopher rules (Rae et al. 2021, table A1) restated over token counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .textqa import _load, _norm
+
+# non-overlapping token-chunk width for passage dedup
+CHUNK_TOKENS = 8
+# per-source quota for the cap sampler
+SOURCE_CAP = 20
+# deterministic draw salt (shared with the DuckDB oracle restatement)
+CAP_SALT = "capsalt"
+# Gopher-style acceptance thresholds, restated over token-occurrence
+# fractions: top 2-gram <= 0.20 of bigram occurrences, duplicate
+# 3-grams <= 0.30 of trigram occurrences
+TOP_BIGRAM_MAX = 0.20
+DUP_TRIGRAM_MAX = 0.30
+
+
+def _toks(col):
+    return F.split(_norm(col), " ")
+
+
+def _word_grams(toks, k: int):
+    """Adjacent word k-grams as an array column (empty when the doc has
+    fewer than k tokens). Built from k aligned slices zipped with
+    concat_ws — stays inside codegen, no explode until the caller."""
+    n = F.size(toks)
+    width = F.greatest(n - (k - 1), F.lit(0))
+    parts = [F.slice(toks, i + 1, width) for i in range(k)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = F.zip_with(grams, p, lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition quality signals (Gopher filter family):
+
+    * top_bigram_frac  — occurrences of the most frequent word 2-gram
+      over all 2-gram occurrences
+    * dup_bigram_frac  — occurrences belonging to 2-grams seen more
+      than once in the doc, over all 2-gram occurrences
+    * dup_trigram_frac — same for 3-grams
+    * passes_repetition — top_bigram_frac <= 0.20 AND
+      dup_trigram_frac <= 0.30
+
+    Docs too short for a given gram size contribute 0.0 fractions.
+    """
+    docs = _load(spark, sf_dir)
+    base = docs.select("doc_id", _toks(F.col("text")).alias("toks"))
+    toks = F.col("toks")
+    tagged = F.concat(
+        F.transform(
+            _word_grams(toks, 2),
+            lambda g: F.struct(F.lit(2).alias("k"), g.alias("gram")),
+        ),
+        F.transform(
+            _word_grams(toks, 3),
+            lambda g: F.struct(F.lit(3).alias("k"), g.alias("gram")),
+        ),
+    )
+    grams = base.select("doc_id", F.explode(tagged).alias("g")).select(
+        "doc_id", F.col("g.k").alias("k"), F.col("g.gram").alias("gram")
+    )
+    cnt = grams.groupBy("doc_id", "k", "gram").agg(F.count("*").alias("c"))
+    k, c = F.col("k"), F.col("c")
+    per = cnt.groupBy("doc_id").agg(
+        F.max(F.when(k == 2, c)).alias("top2"),
+        F.sum(F.when(k == 2, c)).alias("tot2"),
+        F.sum(F.when((k == 2) & (c > 1), c)).alias("dup2"),
+        F.sum(F.when(k == 3, c)).alias("tot3"),
+        F.sum(F.when((k == 3) & (c > 1), c)).alias("dup3"),
+    )
+    top_bi = F.coalesce(F.col("top2") / F.col("tot2"), F.lit(0.0))
+    dup_bi = F.coalesce(F.col("dup2") / F.col("tot2"), F.lit(0.0))
+    dup_tri = F.coalesce(F.col("dup3") / F.col("tot3"), F.lit(0.0))
+    return (
+        docs.select("doc_id", F.size(_toks(F.col("text"))).alias("n_tokens"))
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(top_bi, 6).alias("top_bigram_frac"),
+            F.round(dup_bi, 6).alias("dup_bigram_frac"),
+            F.round(dup_tri, 6).alias("dup_trigram_frac"),
+            (
+                (top_bi <= TOP_BIGRAM_MAX) & (dup_tri <= DUP_TRIGRAM_MAX)
+            ).alias("passes_repetition"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dedup_chunks_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document passage dedup at 8-token-chunk granularity: a
+    chunk is duplicated when its digest occurs more than once in the
+    whole corpus (within-doc repeats count — a self-plagiarizing doc is
+    as much a dedup target as a syndicated one). Emits per-doc chunk
+    totals, the duplicated fraction, and keep_doc (frac <= 0.5)."""
+    docs = _load(spark, sf_dir)
+    toks = _toks(F.col("text"))
+    n = F.size(toks)
+    n_chunks = F.floor(n / CHUNK_TOKENS).cast("int")
+    hashes = F.when(
+        n >= CHUNK_TOKENS,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(toks, i * CHUNK_TOKENS + 1, CHUNK_TOKENS))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = docs.select("doc_id", F.explode(hashes).alias("h"))
+    occ = ex.withColumn("c", F.count("*").over(Window.partitionBy("h")))
+    per = occ.groupBy("doc_id").agg(
+        F.count("*").alias("nc"),
+        F.sum((F.col("c") > 1).cast("bigint")).alias("nd"),
+    )
+    frac = F.when(
+        F.coalesce(F.col("nc"), F.lit(0)) > 0, F.col("nd") / F.col("nc")
+    ).otherwise(F.lit(0.0))
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("nc"), F.lit(0)).cast("bigint").alias("n_chunks"),
+            F.coalesce(F.col("nd"), F.lit(0)).cast("bigint").alias("n_dup_chunks"),
+            F.round(frac, 6).alias("dup_chunk_frac"),
+            (frac <= 0.5).alias("keep_doc"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source quota: keep at most SOURCE_CAP docs per
+    source, drawn by a salted md5 of the doc id (stable across runs and
+    engines, uniform across the id space — the per-domain cap step of a
+    CC-style curation pipeline)."""
+    docs = _load(spark, sf_dir)
+    key = F.md5(
+        F.concat_ws("|", F.lit(CAP_SALT), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("source").orderBy(key)
+    return (
+        docs.select("doc_id", "source", key.alias("samp_key"))
+        .withColumn("rank_in_source", F.row_number().over(w))
+        .filter(F.col("rank_in_source") <= SOURCE_CAP)
+        .select("doc_id", "source", "rank_in_source")
+        .orderBy("source", "rank_in_source")
+    )

@@ -308,3 +308,104 @@ def test_embedding_exact_mode_is_recall_superset(spark):
     assert set(approx) <= set(exact)
     assert all(exact[k] == v for k, v in approx.items())
     assert len(exact) >= 1
+
+
+# ---------------------------------------------------------------------------
+# corpus-curation ops (functions/curation.py)
+# ---------------------------------------------------------------------------
+
+def _write_docs(spark, rows):
+    """documents.parquet-shaped temp table: (doc_id, text, lang, source)."""
+    tmp = tempfile.mkdtemp(prefix="curation_")
+    df = spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    return tmp
+
+
+def test_repetition_scores_hand_values(spark):
+    from smartreader_spark.functions.curation import repetition_scores
+
+    tmp = _write_docs(spark, [
+        (1, "a b a b a b", "s"),            # bigrams: 'a b'x3 'b a'x2
+        (2, "w x y z q r", "s"),            # all grams distinct
+        (3, "solo", "s"),                    # too short for any gram
+    ])
+    try:
+        rows = {r.doc_id: r for r in repetition_scores(spark, tmp).collect()}
+        r1 = rows[1]
+        assert r1.n_tokens == 6
+        assert r1.top_bigram_frac == 0.6          # 3/5
+        assert r1.dup_bigram_frac == 1.0          # every bigram repeats
+        assert r1.dup_trigram_frac == 1.0         # 'a b a'x2 'b a b'x2
+        assert r1.passes_repetition is False
+        r2 = rows[2]
+        assert r2.top_bigram_frac == 0.2          # 1/5, at the threshold
+        assert r2.dup_trigram_frac == 0.0
+        assert r2.passes_repetition is True
+        r3 = rows[3]
+        assert r3.n_tokens == 1
+        assert (r3.top_bigram_frac, r3.dup_bigram_frac, r3.dup_trigram_frac) \
+            == (0.0, 0.0, 0.0)
+        assert r3.passes_repetition is True
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_dedup_chunks_cross_doc_and_short_doc(spark):
+    from smartreader_spark.functions.curation import dedup_chunks_corpus
+
+    shared = " ".join(f"tok{i}" for i in range(8))       # one full chunk
+    uniq1 = " ".join(f"one{i}" for i in range(8))
+    uniq2 = " ".join(f"two{i}" for i in range(8))
+    tmp = _write_docs(spark, [
+        (1, f"{shared} {uniq1}", "s"),   # chunks: shared, uniq1
+        (2, f"{shared} {uniq2}", "s"),   # chunks: shared, uniq2
+        (3, "short doc under eight", "s"),
+    ])
+    try:
+        rows = {r.doc_id: r for r in dedup_chunks_corpus(spark, tmp).collect()}
+        assert (rows[1].n_chunks, rows[1].n_dup_chunks) == (2, 1)
+        assert rows[1].dup_chunk_frac == 0.5
+        assert rows[1].keep_doc is True            # 0.5 <= 0.5 boundary
+        assert (rows[2].n_chunks, rows[2].n_dup_chunks) == (2, 1)
+        assert (rows[3].n_chunks, rows[3].n_dup_chunks) == (0, 0)
+        assert rows[3].dup_chunk_frac == 0.0 and rows[3].keep_doc is True
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_dedup_chunks_within_doc_repeat_counts(spark):
+    from smartreader_spark.functions.curation import dedup_chunks_corpus
+
+    block = " ".join(f"rep{i}" for i in range(8))
+    tmp = _write_docs(spark, [(1, f"{block} {block}", "s")])
+    try:
+        r = dedup_chunks_corpus(spark, tmp).collect()[0]
+        # a self-repeating doc is a dedup target: both chunks duplicated
+        assert (r.n_chunks, r.n_dup_chunks) == (2, 2)
+        assert r.dup_chunk_frac == 1.0 and r.keep_doc is False
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_source_cap_deterministic_quota(spark):
+    from smartreader_spark.functions.curation import SOURCE_CAP, source_cap_sample
+
+    rows = [(i, f"doc number {i} text", "big") for i in range(SOURCE_CAP + 5)]
+    rows += [(100 + i, f"small source doc {i}", "small") for i in range(3)]
+    tmp = _write_docs(spark, rows)
+    try:
+        out1 = source_cap_sample(spark, tmp).collect()
+        out2 = source_cap_sample(spark, tmp).collect()
+        assert out1 == out2                         # deterministic draw
+        by_src = {}
+        for r in out1:
+            by_src.setdefault(r.source, []).append(r.rank_in_source)
+        assert len(by_src["big"]) == SOURCE_CAP     # capped
+        assert sorted(by_src["big"]) == list(range(1, SOURCE_CAP + 1))
+        assert len(by_src["small"]) == 3            # under-cap kept whole
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -93,7 +93,9 @@ def test_no_python_eval_in_analytical_plans(spark):
     for name in ("dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
                  "dedup_simhash_pairs", "token_counts", "bpe_token_counts",
                  "quality_scores", "language_guess",
-                 "doc_fingerprints", "ann_brute_force"):
+                 "doc_fingerprints", "ann_brute_force",
+                 "repetition_scores", "dedup_chunks_corpus",
+                 "source_cap_sample"):
         plan = plan_of(qs[name](spark, SF))
         assert "Python" not in plan and "MapInPandas" not in plan, name
 
@@ -207,3 +209,31 @@ def test_pipeline_end_to_end_plan_shape(spark):
     assert distinct(r"(?:BroadcastNestedLoopJoin|CartesianProduct)[^\n]*") == 0
     # the stage barrier is the cache, not a driver collect
     assert "InMemoryTableScan" in plan
+
+
+def test_source_cap_window_group_limit_pushdown(spark):
+    """rank_in_source <= K must compile to WindowGroupLimit (partial +
+    final): per-source state on the map side is a K-row heap, not the
+    source's whole document list — the property that makes the per-host
+    cap safe on a skewed 100-TB corpus."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["source_cap_sample"](spark, SF))
+    assert "WindowGroupLimit" in plan
+
+
+def test_chunk_dedup_no_cartesian_and_pruned_scan(spark):
+    """The passage-dedup plan must contain no nested-loop join (the
+    occurrence count is a window over the chunk digest, not a self-join)
+    and must prune the documents scan to (doc_id, text)."""
+    import __spark_entry__ as e
+
+    df = e.queries()["dedup_chunks_corpus"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    reads = [l for l in formatted(df).splitlines() if "ReadSchema" in l]
+    # the chunk leg reads (doc_id, text); the left doc-list leg prunes
+    # all the way down to doc_id alone — no scan may read lang/source
+    assert reads and all("doc_id" in r and "lang" not in r
+                         and "source" not in r for r in reads), reads
+    assert any("text" in r for r in reads), reads
