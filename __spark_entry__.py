@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lsh_bucketed_topk,
     )
     from smartreader_spark.functions.curation import (
+        curation_funnel,
+        curation_pipeline,
         dedup_chunks_corpus,
         repetition_scores,
         source_cap_sample,
@@ -431,6 +433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": repetition_scores,
         "dedup_chunks_corpus": dedup_chunks_corpus,
         "source_cap_sample": source_cap_sample,
+        "curation_pipeline": curation_pipeline,
+        "curation_funnel": curation_funnel,
     }
 
 
@@ -608,6 +612,87 @@ def oracle_sql() -> dict[str, str]:
         SOURCE_CAP,
         TOP_BIGRAM_MAX,
     )
+
+    # standalone curation oracles, hoisted so the composed
+    # curation_pipeline/curation_funnel entries can nest them as
+    # subqueries (one source of truth per gate)
+    _rep_sql = f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), g AS (
+              SELECT doc_id, 2 AS k, toks[i] || ' ' || toks[i + 1] AS gram
+              FROM (SELECT doc_id, toks,
+                           unnest(range(1, len(toks))) AS i FROM t)
+              UNION ALL
+              SELECT doc_id, 3 AS k,
+                     toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS gram
+              FROM (SELECT doc_id, toks,
+                           unnest(range(1, len(toks) - 1)) AS i FROM t)
+            ), cnt AS (
+              SELECT doc_id, k, gram, count(*) AS c FROM g GROUP BY ALL
+            ), per AS (
+              SELECT doc_id,
+                     max(CASE WHEN k = 2 THEN c END) AS top2,
+                     CAST(sum(CASE WHEN k = 2 THEN c END) AS BIGINT) AS tot2,
+                     CAST(sum(CASE WHEN k = 2 AND c > 1 THEN c END) AS BIGINT) AS dup2,
+                     CAST(sum(CASE WHEN k = 3 THEN c END) AS BIGINT) AS tot3,
+                     CAST(sum(CASE WHEN k = 3 AND c > 1 THEN c END) AS BIGINT) AS dup3
+              FROM cnt GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   len({_TOKS}) AS n_tokens,
+                   round(coalesce(top2::DOUBLE / tot2, 0.0), 6) AS top_bigram_frac,
+                   round(coalesce(coalesce(dup2, 0)::DOUBLE / tot2, 0.0), 6) AS dup_bigram_frac,
+                   round(coalesce(coalesce(dup3, 0)::DOUBLE / tot3, 0.0), 6) AS dup_trigram_frac,
+                   (coalesce(top2::DOUBLE / tot2, 0.0) <= {TOP_BIGRAM_MAX}
+                    AND coalesce(coalesce(dup3, 0)::DOUBLE / tot3, 0.0)
+                        <= {DUP_TRIGRAM_MAX}) AS passes_repetition
+            FROM documents d LEFT JOIN per USING (doc_id)
+            ORDER BY doc_id
+        """
+    _chunks_sql = f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), h AS (
+              SELECT doc_id,
+                     md5(array_to_string(
+                         toks[i * {CHUNK_TOKENS} + 1 : i * {CHUNK_TOKENS} + {CHUNK_TOKENS}],
+                         ' ')) AS h
+              FROM (SELECT doc_id, toks,
+                           unnest(range(0, CAST(floor(len(toks) / {CHUNK_TOKENS}) AS INT))) AS i
+                    FROM t WHERE len(toks) >= {CHUNK_TOKENS})
+            ), occ AS (
+              SELECT doc_id, count(*) OVER (PARTITION BY h) AS c FROM h
+            ), per AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS nc,
+                     CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS nd
+              FROM occ GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(nc, 0) AS n_chunks,
+                   coalesce(nd, 0) AS n_dup_chunks,
+                   round(CASE WHEN coalesce(nc, 0) > 0
+                              THEN nd::DOUBLE / nc ELSE 0.0 END, 6) AS dup_chunk_frac,
+                   (CASE WHEN coalesce(nc, 0) > 0
+                         THEN nd::DOUBLE / nc ELSE 0.0 END) <= 0.5 AS keep_doc
+            FROM documents d LEFT JOIN per USING (doc_id)
+            ORDER BY doc_id
+        """
+    _cap_sql = f"""
+            WITH ranked AS (
+              SELECT doc_id, source,
+                     md5('{CAP_SALT}' || '|' || CAST(doc_id AS VARCHAR)) AS samp_key,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('{CAP_SALT}' || '|' || CAST(doc_id AS VARCHAR))
+                     ) AS rank_in_source
+              FROM documents
+            )
+            SELECT doc_id, source, rank_in_source
+            FROM ranked WHERE rank_in_source <= {SOURCE_CAP}
+            ORDER BY source, rank_in_source
+        """
 
     mh_sig = " || ".join(
         "list_min(list_transform(shingles, "
@@ -1029,81 +1114,38 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         # --- corpus-curation ops (functions/curation.py) ----------------
-        "repetition_scores": f"""
-            WITH t AS (
-              SELECT doc_id, {_TOKS} AS toks FROM documents
-            ), g AS (
-              SELECT doc_id, 2 AS k, toks[i] || ' ' || toks[i + 1] AS gram
-              FROM (SELECT doc_id, toks,
-                           unnest(range(1, len(toks))) AS i FROM t)
-              UNION ALL
-              SELECT doc_id, 3 AS k,
-                     toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS gram
-              FROM (SELECT doc_id, toks,
-                           unnest(range(1, len(toks) - 1)) AS i FROM t)
-            ), cnt AS (
-              SELECT doc_id, k, gram, count(*) AS c FROM g GROUP BY ALL
-            ), per AS (
-              SELECT doc_id,
-                     max(CASE WHEN k = 2 THEN c END) AS top2,
-                     CAST(sum(CASE WHEN k = 2 THEN c END) AS BIGINT) AS tot2,
-                     CAST(sum(CASE WHEN k = 2 AND c > 1 THEN c END) AS BIGINT) AS dup2,
-                     CAST(sum(CASE WHEN k = 3 THEN c END) AS BIGINT) AS tot3,
-                     CAST(sum(CASE WHEN k = 3 AND c > 1 THEN c END) AS BIGINT) AS dup3
-              FROM cnt GROUP BY doc_id
-            )
-            SELECT d.doc_id,
-                   len({_TOKS}) AS n_tokens,
-                   round(coalesce(top2::DOUBLE / tot2, 0.0), 6) AS top_bigram_frac,
-                   round(coalesce(coalesce(dup2, 0)::DOUBLE / tot2, 0.0), 6) AS dup_bigram_frac,
-                   round(coalesce(coalesce(dup3, 0)::DOUBLE / tot3, 0.0), 6) AS dup_trigram_frac,
-                   (coalesce(top2::DOUBLE / tot2, 0.0) <= {TOP_BIGRAM_MAX}
-                    AND coalesce(coalesce(dup3, 0)::DOUBLE / tot3, 0.0)
-                        <= {DUP_TRIGRAM_MAX}) AS passes_repetition
-            FROM documents d LEFT JOIN per USING (doc_id)
-            ORDER BY doc_id
+        "repetition_scores": _rep_sql,
+        "dedup_chunks_corpus": _chunks_sql,
+        "source_cap_sample": _cap_sql,
+        # the composed curation pipeline + its funnel: the three gates
+        # restated as nested subqueries of the standalone oracles (one
+        # source of truth per gate)
+        "curation_pipeline": f"""
+            WITH cap AS ({_cap_sql}),
+                 rep AS ({_rep_sql}),
+                 ch AS ({_chunks_sql})
+            SELECT cap.doc_id, cap.source, rep.n_tokens
+            FROM cap
+            JOIN rep ON cap.doc_id = rep.doc_id AND rep.passes_repetition
+            JOIN ch ON cap.doc_id = ch.doc_id AND ch.keep_doc
+            ORDER BY cap.doc_id
         """,
-        "dedup_chunks_corpus": f"""
-            WITH t AS (
-              SELECT doc_id, {_TOKS} AS toks FROM documents
-            ), h AS (
-              SELECT doc_id,
-                     md5(array_to_string(
-                         toks[i * {CHUNK_TOKENS} + 1 : i * {CHUNK_TOKENS} + {CHUNK_TOKENS}],
-                         ' ')) AS h
-              FROM (SELECT doc_id, toks,
-                           unnest(range(0, CAST(floor(len(toks) / {CHUNK_TOKENS}) AS INT))) AS i
-                    FROM t WHERE len(toks) >= {CHUNK_TOKENS})
-            ), occ AS (
-              SELECT doc_id, count(*) OVER (PARTITION BY h) AS c FROM h
-            ), per AS (
-              SELECT doc_id,
-                     CAST(count(*) AS BIGINT) AS nc,
-                     CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS nd
-              FROM occ GROUP BY doc_id
-            )
-            SELECT d.doc_id,
-                   coalesce(nc, 0) AS n_chunks,
-                   coalesce(nd, 0) AS n_dup_chunks,
-                   round(CASE WHEN coalesce(nc, 0) > 0
-                              THEN nd::DOUBLE / nc ELSE 0.0 END, 6) AS dup_chunk_frac,
-                   (CASE WHEN coalesce(nc, 0) > 0
-                         THEN nd::DOUBLE / nc ELSE 0.0 END) <= 0.5 AS keep_doc
-            FROM documents d LEFT JOIN per USING (doc_id)
-            ORDER BY doc_id
-        """,
-        "source_cap_sample": f"""
-            WITH ranked AS (
-              SELECT doc_id, source,
-                     md5('{CAP_SALT}' || '|' || CAST(doc_id AS VARCHAR)) AS samp_key,
-                     row_number() OVER (
-                       PARTITION BY source
-                       ORDER BY md5('{CAP_SALT}' || '|' || CAST(doc_id AS VARCHAR))
-                     ) AS rank_in_source
-              FROM documents
-            )
-            SELECT doc_id, source, rank_in_source
-            FROM ranked WHERE rank_in_source <= {SOURCE_CAP}
-            ORDER BY source, rank_in_source
+        "curation_funnel": f"""
+            WITH cap AS ({_cap_sql}),
+                 rep AS ({_rep_sql}),
+                 ch AS ({_chunks_sql}),
+                 s3 AS (SELECT cap.doc_id FROM cap
+                        JOIN rep ON cap.doc_id = rep.doc_id
+                                AND rep.passes_repetition)
+            SELECT '1_total' AS stage, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents
+            UNION ALL
+            SELECT '2_after_source_cap', CAST(count(*) AS BIGINT) FROM cap
+            UNION ALL
+            SELECT '3_after_repetition', CAST(count(*) AS BIGINT) FROM s3
+            UNION ALL
+            SELECT '4_after_chunk_dedup', CAST(count(*) AS BIGINT)
+            FROM s3 JOIN ch ON s3.doc_id = ch.doc_id AND ch.keep_doc
+            ORDER BY stage
         """,
     }

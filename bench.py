@@ -77,6 +77,8 @@ ANALYTICAL = [
     "repetition_scores",
     "dedup_chunks_corpus",
     "source_cap_sample",
+    "curation_pipeline",
+    "curation_funnel",
 ]
 
 

@@ -186,3 +186,61 @@ def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "rank_in_source")
         .orderBy("source", "rank_in_source")
     )
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three curation gates composed into one keep decision — the
+    order a production pipeline applies them: per-source quota first
+    (cheapest, biggest cut on crawl-skewed corpora), then the doc-local
+    repetition gate, then corpus-wide passage dedup. Returns the
+    surviving docs. Every join is a doc_id equi-join between outputs
+    already partitioned by doc_id-derived keys; at 100 TB the quota and
+    repetition legs prune before the (more expensive) chunk shuffle's
+    output is consumed."""
+    capped = source_cap_sample(spark, sf_dir).select("doc_id", "source")
+    rep = (
+        repetition_scores(spark, sf_dir)
+        .filter(F.col("passes_repetition"))
+        .select("doc_id", "n_tokens")
+    )
+    ch = (
+        dedup_chunks_corpus(spark, sf_dir)
+        .filter(F.col("keep_doc"))
+        .select("doc_id")
+    )
+    return (
+        capped.join(rep, "doc_id")
+        .join(ch, "doc_id")
+        .select("doc_id", "source", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage survivor counts for the curation pipeline (the
+    observability twin of curation_pipeline — the number a 100-TB run
+    watches to catch a gate eating the corpus). One row per stage."""
+    docs = _load(spark, sf_dir)
+    capped = source_cap_sample(spark, sf_dir).select("doc_id")
+    rep_pass = (
+        repetition_scores(spark, sf_dir)
+        .filter(F.col("passes_repetition"))
+        .select("doc_id")
+    )
+    ch_keep = (
+        dedup_chunks_corpus(spark, sf_dir)
+        .filter(F.col("keep_doc"))
+        .select("doc_id")
+    )
+    stages = [
+        ("1_total", docs.select("doc_id")),
+        ("2_after_source_cap", capped),
+        ("3_after_repetition", capped.join(rep_pass, "doc_id")),
+        ("4_after_chunk_dedup", capped.join(rep_pass, "doc_id").join(ch_keep, "doc_id")),
+    ]
+    out = None
+    for name, df in stages:
+        row = df.agg(F.count("*").alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("stage")

@@ -409,3 +409,17 @@ def test_source_cap_deterministic_quota(spark):
         assert len(by_src["small"]) == 3            # under-cap kept whole
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_curation_pipeline_and_funnel_consistent(spark):
+    """The funnel's stage counts must agree with the composed pipeline's
+    output and be monotonically non-increasing."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    surv = qs["curation_pipeline"](spark, SF).collect()
+    funnel = {r.stage: r.n_docs for r in qs["curation_funnel"](spark, SF).collect()}
+    assert funnel["4_after_chunk_dedup"] == len(surv)
+    counts = [funnel[k] for k in sorted(funnel)]
+    assert counts == sorted(counts, reverse=True)
+    assert funnel["1_total"] == 500  # sf0.001 documents table size
