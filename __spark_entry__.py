@@ -86,10 +86,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from smartreader_spark.functions.curation import (
         curation_funnel,
         curation_pipeline,
+        decontaminate_ngrams,
         dedup_chunks_corpus,
         repetition_scores,
         source_cap_sample,
     )
+    from smartreader_spark.functions.privacy import pii_scrub
     from smartreader_spark.functions.textqa import (
         bpe_token_counts,
         doc_fingerprints,
@@ -435,6 +437,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap_sample": source_cap_sample,
         "curation_pipeline": curation_pipeline,
         "curation_funnel": curation_funnel,
+        "pii_scrub": pii_scrub,
+        "decontaminate_ngrams": decontaminate_ngrams,
     }
 
 
@@ -608,9 +612,19 @@ def oracle_sql() -> dict[str, str]:
     from smartreader_spark.functions.curation import (
         CAP_SALT,
         CHUNK_TOKENS,
+        DECON_BENCH_MOD,
+        DECON_NGRAM,
         DUP_TRIGRAM_MAX,
         SOURCE_CAP,
         TOP_BIGRAM_MAX,
+    )
+    from smartreader_spark.functions.privacy import (
+        EMAIL_RE,
+        EMAIL_TOKEN,
+        IPV4_RE,
+        IPV4_TOKEN,
+        PHONE_RE,
+        PHONE_TOKEN,
     )
 
     # standalone curation oracles, hoisted so the composed
@@ -693,6 +707,8 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank_in_source <= {SOURCE_CAP}
             ORDER BY source, rank_in_source
         """
+
+    _PII_INJ = "concat_ws(' ', text, 'contact', 'user' || CAST(doc_id AS VARCHAR) || '@example.com', 'ip', '10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1', 'tel', '+1 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))"
 
     mh_sig = " || ".join(
         "list_min(list_transform(shingles, "
@@ -1147,5 +1163,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT '4_after_chunk_dedup', CAST(count(*) AS BIGINT)
             FROM s3 JOIN ch ON s3.doc_id = ch.doc_id AND ch.keep_doc
             ORDER BY stage
+        """,
+        # --- PII scrub (functions/privacy.py): the injection, patterns,
+        # redaction order and tokens are restated verbatim from the
+        # module constants (one source of truth)
+        "pii_scrub": f"""
+            WITH t AS (
+              SELECT doc_id, {_PII_INJ} AS it FROM documents
+            ), r AS (
+              SELECT doc_id, it,
+                     regexp_replace(regexp_replace(regexp_replace(it,
+                         '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g'),
+                         '{IPV4_RE}', '{IPV4_TOKEN}', 'g'),
+                         '{PHONE_RE}', '{PHONE_TOKEN}', 'g') AS red
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(it, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(it, '{IPV4_RE}')) AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(it, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+                   length(red) AS redacted_len,
+                   md5(red) AS redacted_digest
+            FROM r ORDER BY doc_id
+        """,
+        # --- benchmark decontamination (functions/curation.py):
+        # sliding word 8-grams, benchmark slice doc_id % MOD == 0
+        "decontaminate_ngrams": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), g AS (
+              SELECT doc_id, md5(toks[i + 0] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] || ' ' || toks[i + 4] || ' ' || toks[i + 5] || ' ' || toks[i + 6] || ' ' || toks[i + 7]) AS h
+              FROM (SELECT doc_id, toks,
+                           unnest(range(1, len(toks) - {DECON_NGRAM - 2})) AS i
+                    FROM t)
+            ), per AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS ng,
+                     CAST(sum(CASE WHEN h IN (
+                         SELECT DISTINCT h FROM g
+                         WHERE doc_id % {DECON_BENCH_MOD} = 0
+                       ) THEN 1 ELSE 0 END) AS BIGINT) AS nov
+              FROM g WHERE doc_id % {DECON_BENCH_MOD} <> 0
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(ng, 0) AS n_grams,
+                   coalesce(nov, 0) AS n_overlap,
+                   coalesce(nov, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN per USING (doc_id)
+            WHERE d.doc_id % {DECON_BENCH_MOD} <> 0
+            ORDER BY doc_id
         """,
     }

@@ -79,6 +79,8 @@ ANALYTICAL = [
     "source_cap_sample",
     "curation_pipeline",
     "curation_funnel",
+    "pii_scrub",
+    "decontaminate_ngrams",
 ]
 
 

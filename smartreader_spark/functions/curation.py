@@ -45,6 +45,10 @@ CHUNK_TOKENS = 8
 SOURCE_CAP = 20
 # deterministic draw salt (shared with the DuckDB oracle restatement)
 CAP_SALT = "capsalt"
+# benchmark-decontamination knobs: sliding-gram width and the
+# deterministic benchmark slice (doc_id % DECON_BENCH_MOD == 0)
+DECON_NGRAM = 8
+DECON_BENCH_MOD = 97
 # Gopher-style acceptance thresholds, restated over token-occurrence
 # fractions: top 2-gram <= 0.20 of bigram occurrences, duplicate
 # 3-grams <= 0.30 of trigram occurrences
@@ -186,6 +190,55 @@ def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "rank_in_source")
         .orderBy("source", "rank_in_source")
     )
+
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    sliding word 8-gram with a designated evaluation set (here the
+    deterministic ~1% slice doc_id % 97 == 0 stands in for the held-out
+    benchmark). The standard n-gram-overlap contamination check every
+    published training pipeline runs (GPT-3 appendix C / PaLM / Llama
+    use 8-13 gram collision against eval sets).
+
+    Scale shape: the benchmark's distinct gram digests are tiny relative
+    to the corpus, so the membership probe is a broadcast hash join —
+    corpus grams never shuffle for the join; the only wide exchange is
+    the per-doc overlap count on doc_id (doc-local key). Emits one row
+    per non-benchmark doc: gram occurrences, how many hit the benchmark
+    set, and the contaminated flag."""
+    docs = _load(spark, sf_dir)
+    grams = docs.select(
+        "doc_id",
+        F.explode(_word_grams(_toks(F.col("text")), DECON_NGRAM)).alias("g"),
+    ).select("doc_id", F.md5(F.col("g")).alias("h"))
+    bench = (
+        grams.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+        .select("h")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = grams.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    per = (
+        corpus.join(F.broadcast(bench), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("ng"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("nov"),
+        )
+    )
+    nov = F.coalesce(F.col("nov"), F.lit(0)).cast("bigint")
+    return (
+        docs.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+        .select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("ng"), F.lit(0)).cast("bigint").alias("n_grams"),
+            nov.alias("n_overlap"),
+            (nov > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
 
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The three curation gates composed into one keep decision — the

@@ -423,3 +423,59 @@ def test_curation_pipeline_and_funnel_consistent(spark):
     counts = [funnel[k] for k in sorted(funnel)]
     assert counts == sorted(counts, reverse=True)
     assert funnel["1_total"] == 500  # sf0.001 documents table size
+
+
+def test_pii_scrub_organic_text(spark):
+    """scrub_cols on organic (non-injected) PII: counts and the exact
+    redacted string."""
+    from smartreader_spark.functions.privacy import scrub_cols
+
+    text = (
+        "mail bob.smith+x@corp.example.org or admin@host.io, "
+        "server 192.168.0.1 and 10.0.0.255, call +44 20 7946 0958 now"
+    )
+    df = spark.createDataFrame([(text,)], "text string")
+    n_e, n_i, n_p, red = scrub_cols(F.col("text"))
+    row = df.select(
+        n_e.alias("e"), n_i.alias("i"), n_p.alias("p"), red.alias("r")
+    ).collect()[0]
+    assert (row.e, row.i, row.p) == (2, 2, 1)
+    assert row.r == (
+        "mail [EMAIL] or [EMAIL], server [IPV4] and [IPV4], "
+        "call [PHONE] now"
+    )
+
+
+def test_pii_scrub_clean_text_untouched(spark):
+    from smartreader_spark.functions.privacy import scrub_cols
+
+    text = "no contact info here, just words and the number 42."
+    df = spark.createDataFrame([(text,)], "text string")
+    n_e, n_i, n_p, red = scrub_cols(F.col("text"))
+    row = df.select(
+        n_e.alias("e"), n_i.alias("i"), n_p.alias("p"), red.alias("r")
+    ).collect()[0]
+    assert (row.e, row.i, row.p) == (0, 0, 0)
+    assert row.r == text
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """doc 0 (benchmark slice: 0 % 97 == 0) shares an 8-gram with doc 1
+    but not doc 2; only doc 1 is contaminated, benchmark rows excluded."""
+    from smartreader_spark.functions.curation import decontaminate_ngrams
+
+    shared = " ".join(f"w{i}" for i in range(8))
+    rows = [
+        (0, f"benchmark prefix {shared} benchmark suffix", "bench"),
+        (1, f"a copycat document quoting {shared} verbatim here", "web"),
+        (2, "entirely unrelated words with no overlap at all present", "web"),
+    ]
+    tmp = _write_docs(spark, rows)
+    try:
+        out = {r.doc_id: r for r in decontaminate_ngrams(spark, tmp).collect()}
+        assert set(out) == {1, 2}                     # benchmark excluded
+        assert out[1].contaminated and out[1].n_overlap >= 1
+        assert not out[2].contaminated and out[2].n_overlap == 0
+        assert out[2].n_grams > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -96,7 +96,7 @@ def test_no_python_eval_in_analytical_plans(spark):
                  "doc_fingerprints", "ann_brute_force",
                  "repetition_scores", "dedup_chunks_corpus",
                  "source_cap_sample", "curation_pipeline",
-                 "curation_funnel"):
+                 "curation_funnel", "pii_scrub", "decontaminate_ngrams"):
         plan = plan_of(qs[name](spark, SF))
         assert "Python" not in plan and "MapInPandas" not in plan, name
 
@@ -238,3 +238,30 @@ def test_chunk_dedup_no_cartesian_and_pruned_scan(spark):
     assert reads and all("doc_id" in r and "lang" not in r
                          and "source" not in r for r in reads), reads
     assert any("text" in r for r in reads), reads
+
+
+def test_decontamination_broadcasts_benchmark_set(spark):
+    """The benchmark gram-digest membership probe must be a broadcast
+    hash join (the corpus-side grams never shuffle for it), with no
+    nested-loop fallback."""
+    import __spark_entry__ as e
+
+    df = e.queries()["decontaminate_ngrams"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_pii_scrub_is_shuffle_free(spark):
+    """PII scrub is a pure map stage: no exchange other than the final
+    presentation sort, and the scan pruned to (doc_id, text)."""
+    import __spark_entry__ as e
+
+    df = e.queries()["pii_scrub"](spark, SF)
+    plan = plan_of(df)
+    # the only Exchange allowed is the rangepartitioning for orderBy
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    assert all("rangepartitioning" in l for l in exchanges), exchanges
+    reads = [l for l in formatted(df).splitlines() if "ReadSchema" in l]
+    assert reads and all("lang" not in r and "source" not in r
+                         for r in reads), reads
