@@ -479,3 +479,47 @@ def test_decontaminate_flags_planted_overlap(spark):
         assert out[2].n_grams > 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_decontaminate_short_doc_zero_grams(spark):
+    """A doc shorter than the 8-token gram width has zero grams but must
+    still appear in the output as clean (left join + coalesce path)."""
+    from smartreader_spark.functions.curation import decontaminate_ngrams
+
+    rows = [
+        (0, " ".join(f"b{i}" for i in range(12)), "bench"),
+        (1, "too short", "web"),
+        (2, "exactly eight tokens right here makes one gram", "web"),
+    ]
+    tmp = _write_docs(spark, rows)
+    try:
+        out = {r.doc_id: r for r in decontaminate_ngrams(spark, tmp).collect()}
+        assert set(out) == {1, 2}
+        assert out[1].n_grams == 0 and out[1].n_overlap == 0
+        assert out[1].contaminated is False
+        assert out[2].n_grams == 1 and out[2].contaminated is False
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_pii_scrub_adjacency_order(spark):
+    """Pins the overlap semantics when PII classes sit adjacent: the
+    n_* columns are independent detector hits on the RAW text (so the
+    dotted quad inside an email host counts as an IPv4 hit — the
+    standard detector-metric convention), while the redaction chain is
+    sequential (email first), so an overlapping span is redacted exactly
+    once under the earlier class. The DuckDB oracle states the same
+    semantics (counts via regexp_extract_all on the unredacted text)."""
+    from smartreader_spark.functions.privacy import scrub_cols
+
+    text = "x@10.0.0.1.example.com then 10.0.0.1 +1 5551234567 end"
+    df = spark.createDataFrame([(text,)], "text string")
+    n_e, n_i, n_p, red = scrub_cols(F.col("text"))
+    row = df.select(
+        n_e.alias("e"), n_i.alias("i"), n_p.alias("p"), red.alias("r")
+    ).collect()[0]
+    # detector hits on raw text: 1 email, 2 IPv4 (one inside the email
+    # host), 1 phone — but the redacted string carries one [IPV4] only,
+    # because the email redaction already consumed its host
+    assert (row.e, row.i, row.p) == (1, 2, 1)
+    assert row.r == "[EMAIL] then [IPV4] [PHONE] end"
