@@ -81,8 +81,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     from smartreader_spark.functions.similarity import (
         brute_force_topk,
+        ivf_topk,
         lsh_bucketed_topk,
     )
+    from smartreader_spark.functions.components import dedup_components
     from smartreader_spark.functions.curation import (
         curation_funnel,
         curation_pipeline,
@@ -423,8 +425,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": ngram_jaccard_pairs,
         "dedup_simhash": simhash_signatures,
         "dedup_simhash_pairs": simhash_near_dup_pairs,
+        # connected components over the simhash near-dup graph — one
+        # canonical survivor per family (chains and all), iterative
+        # min-label propagation with pointer jumping
+        "dedup_components": dedup_components,
         "ann_brute_force": brute_force_topk,
         "ann_lsh_bucketed": lsh_bucketed_topk,
+        # inverted-file ANN: driver-resident codebook inlined as literals
+        # (map-side cell assignment, no shuffle), nprobe-cell probes
+        "ann_ivf": ivf_topk,
         "token_counts": token_counts,
         "bpe_token_counts": bpe_token_counts,
         "quality_scores": quality_scores,
@@ -593,6 +602,54 @@ _SHINGLES = (
     "range(0, greatest(len(toks) - 3, 0) + 1), "
     "i -> array_to_string(toks[i+1:i+3], ' ')))"
 )
+
+
+def _simhash_pairs_ctes() -> str:
+    """CTE chain restating functions.dedup.simhash_pairs_for_docs over
+    the `documents` view — 60-bit simhash, 6 × 10-bit banding, skew
+    valve, exact hamming verify — shared by the `dedup_simhash_pairs`
+    oracle and the `dedup_components` closure."""
+    bits = ", ".join(
+        f"sum(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    sig = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END" for i in range(60)
+    )
+    return f"""toks AS (
+              SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
+            ), h AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+              FROM toks
+            ), bits AS (
+              SELECT doc_id, {bits}
+              FROM h GROUP BY doc_id
+            ), sigs AS (
+              SELECT doc_id, ({sig})::BIGINT AS simhash
+              FROM bits
+            ), banded AS (
+              SELECT doc_id, simhash, band,
+                     (simhash >> (band * 10)) & 1023 AS bandbits
+              FROM sigs, (SELECT unnest(range(0, 6))::INT AS band) b
+            ), small AS (
+              -- mirrors the Spark skew valve (dedup.SIMHASH_MAX_BUCKET):
+              -- buckets larger than the cap are dropped from candidates
+              SELECT band, bandbits FROM banded
+              GROUP BY band, bandbits HAVING count(*) <= {_SIMHASH_MAX_BUCKET}
+            ), pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+              FROM banded a
+              JOIN small s ON a.band = s.band AND a.bandbits = s.bandbits
+              JOIN banded b
+                ON a.band = b.band AND a.bandbits = b.bandbits
+                   AND a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            )"""
+
+
+_SIMHASH_PAIRS_CTES = _simhash_pairs_ctes()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -850,40 +907,28 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "dedup_simhash_pairs": f"""
-            WITH toks AS (
-              SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
-            ), h AS (
-              SELECT doc_id,
-                     ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
-              FROM toks
-            ), bits AS (
-              SELECT doc_id,
-                     {", ".join(f"sum(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(60))}
-              FROM h GROUP BY doc_id
-            ), sigs AS (
-              SELECT doc_id,
-                     ({" + ".join(f"CASE WHEN b{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END" for i in range(60))})::BIGINT
-                         AS simhash
-              FROM bits
-            ), banded AS (
-              SELECT doc_id, simhash, band,
-                     (simhash >> (band * 10)) & 1023 AS bandbits
-              FROM sigs, (SELECT unnest(range(0, 6))::INT AS band) b
-            ), small AS (
-              -- mirrors the Spark skew valve (dedup.SIMHASH_MAX_BUCKET):
-              -- buckets larger than the cap are dropped from candidates
-              SELECT band, bandbits FROM banded
-              GROUP BY band, bandbits HAVING count(*) <= {_SIMHASH_MAX_BUCKET}
-            )
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   bit_count(xor(a.simhash, b.simhash))::INT AS hamming
-            FROM banded a
-            JOIN small s ON a.band = s.band AND a.bandbits = s.bandbits
-            JOIN banded b
-              ON a.band = b.band AND a.bandbits = b.bandbits
-                 AND a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            WITH {_SIMHASH_PAIRS_CTES}
+            SELECT doc_a, doc_b, hamming FROM pairs
             ORDER BY doc_a, doc_b
+        """,
+        "dedup_components": f"""
+            WITH RECURSIVE {_SIMHASH_PAIRS_CTES},
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL
+              SELECT doc_b, doc_a FROM pairs
+            ),
+            -- transitive closure; the Spark side reaches the same
+            -- fixpoint iteratively (min-label + pointer jumping)
+            reach(src, dst) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            )
+            SELECT src AS doc_id, min(dst) AS component,
+                   (src = min(dst)) AS is_canonical
+            FROM reach GROUP BY src
+            ORDER BY doc_id
         """,
         "bpe_token_counts": f"""
             SELECT doc_id,
@@ -1044,6 +1089,49 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_EXPECTED_CORPUS_PQ}')
             GROUP BY 1
             ORDER BY bucket
+        """,
+        "ann_ivf": """
+            WITH emb AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ), cents AS (
+              -- the deterministic codebook: vectors 8..23, cell = vec_id - 8
+              -- (the Spark side collects exactly these, ordered by vec_id)
+              SELECT (vec_id - 8)::INT AS cell, e AS ce FROM emb
+              WHERE vec_id >= 8 AND vec_id < 24
+            ), cellscore AS (
+              SELECT emb.vec_id, emb.e, c.cell,
+                     round(list_dot_product(emb.e, c.ce)
+                           / (sqrt(list_dot_product(emb.e, emb.e))
+                              * sqrt(list_dot_product(c.ce, c.ce))), 6) AS s
+              FROM emb, cents c
+            ), assign AS (
+              SELECT vec_id, e, cell FROM (
+                SELECT vec_id, e, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, cell ASC) AS rn
+                FROM cellscore) WHERE rn = 1
+            ), probes AS (
+              SELECT vec_id AS query_id, e AS qe, cell FROM (
+                SELECT vec_id, e, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, cell ASC) AS rn
+                FROM cellscore WHERE vec_id < 8) WHERE rn <= 4
+            ), scored AS (
+              SELECT p.query_id, a.vec_id,
+                     round(list_dot_product(p.qe, a.e)
+                           / (sqrt(list_dot_product(p.qe, p.qe))
+                              * sqrt(list_dot_product(a.e, a.e))), 6) AS score
+              FROM assign a JOIN probes p
+                ON a.cell = p.cell AND a.vec_id <> p.query_id
+            ), ranked AS (
+              SELECT query_id, vec_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, vec_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, score, rank
+            FROM ranked WHERE rank <= 5
+            ORDER BY query_id, rank
         """,
         "ann_brute_force": """
             WITH emb AS (

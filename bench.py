@@ -71,8 +71,13 @@ ANALYTICAL = [
     "bpe_token_counts",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
+    # connected components over the simhash near-dup graph (iterative
+    # min-label propagation + pointer jumping; includes the pair mining)
+    "dedup_components",
     "ann_brute_force",
     "ann_lsh_bucketed",
+    # inverted-file ANN (driver codebook, map-side cell assignment)
+    "ann_ivf",
     # r6 corpus-curation ops (functions/curation.py)
     "repetition_scores",
     "dedup_chunks_corpus",

@@ -7,6 +7,12 @@
   the sign pattern of d deterministic pseudo-random hyperplanes; top-k is
   computed within each bucket only. At 100 TB the bucket join replaces the
   full cross product with an equi-join on a d-bit key.
+* ivf_topk — inverted-file index (the FAISS-IVF shape): a small coarse-
+  quantizer codebook lives on the driver and is inlined into the plan as
+  literals, so cell assignment is pure map-side expression work (zero
+  shuffle, zero join); queries probe their `nprobe` nearest cells and
+  score exactly within the probed inverted lists via one broadcast
+  equi-join on the cell id.
 
 No Python UDFs; the dot products run inside codegen'd higher-order
 functions. Scores are rounded to 6 decimals for cross-engine comparison.
@@ -19,6 +25,8 @@ from pyspark.sql import functions as F
 
 DEFAULT_K = 5
 DEFAULT_QUERIES = 8  # vec_id < 8 are the query set (deterministic)
+IVF_CELLS = 16      # coarse-quantizer codebook size for ivf_topk
+IVF_NPROBE = 4      # cells probed per query
 
 
 def _load(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -60,6 +68,99 @@ def brute_force_topk(spark: SparkSession, sf_dir: str,
     )
     scored = (
         emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn("score", F.round(cosine(F.col("q"), F.col("embedding")), 6))
+        .select("query_id", "vec_id", "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _cell_scores(emb_col, centroids):
+    """array<struct<s,nc>> of the rounded cosine of `emb_col` against
+    every codebook centroid; nc = -cell so lexicographic struct max /
+    sort break score ties toward the SMALLEST cell id (mirrored by
+    `ORDER BY s DESC, cell ASC` in the SQL oracle)."""
+    return F.array(
+        *[
+            F.struct(
+                F.round(
+                    cosine(
+                        emb_col, F.array(*[F.lit(float(x)) for x in c])
+                    ),
+                    6,
+                ).alias("s"),
+                F.lit(-i).alias("nc"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str,
+             k: int = DEFAULT_K, n_queries: int = DEFAULT_QUERIES,
+             n_cells: int = IVF_CELLS, nprobe: int = IVF_NPROBE) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the third point on the
+    exactness/cost curve next to brute force and SRP-LSH, and the shape
+    that scales to 10^12 vectors:
+
+    * The coarse quantizer is DRIVER state, as in any real IVF system
+      (FAISS trains the codebook centrally and ships it to workers).
+      Here it is `n_cells` deterministically sampled corpus vectors
+      (vec_id ∈ [n_queries, n_queries + n_cells) — sampled training in
+      place of k-means, deterministic so the DuckDB oracle can rebuild
+      the identical codebook). Collecting it is O(n_cells · dim) —
+      codebook-sized, not data-sized.
+    * Cell assignment inlines the codebook as literals: argmax-cosine
+      over `n_cells` codegen'd fold expressions, entirely map-side — at
+      100 TB the corpus is scanned once with NO shuffle to build the
+      inverted lists (contrast: a join-based assignment would shuffle
+      n_cells × corpus rows).
+    * Each query probes its `nprobe` nearest cells; candidates come from
+      one equi-join of the corpus on the broadcast (query, cell) probe
+      table — candidate volume is corpus × nprobe/n_cells, tunable
+      recall/cost, never a cross product.
+    """
+    from pyspark.sql.window import Window
+
+    emb = _load(spark, sf_dir).select("vec_id", "embedding")
+    centroids = [
+        r["embedding"]
+        for r in emb.filter(
+            (F.col("vec_id") >= n_queries)
+            & (F.col("vec_id") < n_queries + n_cells)
+        )
+        .orderBy("vec_id")
+        .collect()
+    ]
+
+    scores = _cell_scores(F.col("embedding"), centroids)
+    assigned = emb.withColumn(
+        "cell", (-F.array_max(scores)["nc"]).cast("int")
+    )
+    # top-nprobe cells per query: sort the per-cell score structs
+    # descending and slice — (s, nc) descending puts score ties on the
+    # smallest cell first
+    probes = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q"),
+            F.explode(
+                F.transform(
+                    F.slice(F.reverse(F.array_sort(scores)), 1, nprobe),
+                    lambda s: (-s["nc"]).cast("int"),
+                )
+            ).alias("cell"),
+        )
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), ["cell"])
+        .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("score", F.round(cosine(F.col("q"), F.col("embedding")), 6))
         .select("query_id", "vec_id", "score")
     )

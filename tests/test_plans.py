@@ -93,7 +93,7 @@ def test_no_python_eval_in_analytical_plans(spark):
     for name in ("dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
                  "dedup_simhash_pairs", "token_counts", "bpe_token_counts",
                  "quality_scores", "language_guess",
-                 "doc_fingerprints", "ann_brute_force",
+                 "doc_fingerprints", "ann_brute_force", "ann_ivf",
                  "repetition_scores", "dedup_chunks_corpus",
                  "source_cap_sample", "curation_pipeline",
                  "curation_funnel", "pii_scrub", "decontaminate_ngrams"):
@@ -112,6 +112,22 @@ def test_embedding_dedup_has_no_cross_product(spark):
         plan = plan_of(qs[name](spark, SF))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_ann_ivf_is_broadcast_equi_join(spark):
+    """ann_ivf's cell assignment must be map-side (codebook inlined as
+    literals — no join, no shuffle to build the inverted lists) and the
+    probe join must be a broadcast equi-join on the cell id: at 10^12
+    vectors the corpus side is scanned once and never cross-joined."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["ann_ivf"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # exactly one corpus-side scan feeds the probe join (the codebook is
+    # literal state, not a second scan joined in)
+    assert plan.count("Scan parquet") <= 2  # corpus + tiny query side
 
 
 def test_extraction_plan_is_arrow_vectorized(spark):
