@@ -10,13 +10,17 @@ replicas land within simhash hamming reach of each other — every base
 doc becomes a near-dup family, and pre-existing sf0.1 families merge
 ACROSS replicas into larger components. The scale claims under test:
 
-* wall grows ~linearly (pair mining dominates; the label table is one
-  (long, long) row per vertex and each round is two fixed-width-key
-  shuffles);
-* convergence rounds stay O(log n) — pointer jumping keeps the round
-  count flat even though components get K× larger and chainier;
-* survivors ≈ the ×1 component count (each family collapses to ONE
-  canonical doc regardless of how many replicas joined it).
+* wall grows sub-linearly at this volume (pair mining dominates; the
+  label table is one (long, long) row per vertex and each round is two
+  fixed-width-key shuffles);
+* convergence rounds grow at most logarithmically — pointer jumping
+  keeps the round count near-flat as components get larger and chainier
+  (measured r6: 5 rounds at ×1 → 9 at ×10, see BASELINE.md);
+* component count tracks the corpus: the one-token " rev{k}"
+  perturbation pushes most base↔replica pairs past simhash hamming
+  reach, so replica families mostly stay distinct — the experiment
+  stresses volume, not family merging (cross-replica chains that DO
+  pair exercise the chain-merge path).
 
     python tools/scale_step_components.py [--replicas 10]
 
