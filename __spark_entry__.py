@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_chunks_corpus,
         repetition_scores,
         source_cap_sample,
+        source_temperature_sample,
     )
     from smartreader_spark.functions.privacy import pii_scrub
     from smartreader_spark.functions.textqa import (
@@ -444,6 +445,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": repetition_scores,
         "dedup_chunks_corpus": dedup_chunks_corpus,
         "source_cap_sample": source_cap_sample,
+        # temperature-flattened mixture resampling (T=1/2; sqrt rate is
+        # IEEE-correctly-rounded so the keep decision is bit-identical
+        # cross-engine)
+        "source_temperature_sample": source_temperature_sample,
         "curation_pipeline": curation_pipeline,
         "curation_funnel": curation_funnel,
         "pii_scrub": pii_scrub,
@@ -1221,6 +1226,25 @@ def oracle_sql() -> dict[str, str]:
         "repetition_scores": _rep_sql,
         "dedup_chunks_corpus": _chunks_sql,
         "source_cap_sample": _cap_sql,
+        "source_temperature_sample": """
+            WITH c AS (
+              SELECT source, count(*) AS n_source FROM documents GROUP BY source
+            ), m AS (
+              SELECT min(n_source) AS n_min FROM c
+            ), d AS (
+              SELECT doc_id, source,
+                     ('0x' || substr(md5('tempsamp|' || doc_id::VARCHAR), 1, 8))::BIGINT
+                         / 4294967296.0 AS u
+              FROM documents
+            )
+            -- T = 1/2 rate: sqrt of an exact double ratio is correctly
+            -- rounded per IEEE-754, so keep is bit-identical to Spark
+            SELECT d.doc_id, d.source, c.n_source,
+                   round(sqrt(m.n_min::DOUBLE / c.n_source::DOUBLE), 6) AS rate,
+                   (d.u < sqrt(m.n_min::DOUBLE / c.n_source::DOUBLE)) AS keep
+            FROM d JOIN c USING (source), m
+            ORDER BY d.doc_id
+        """,
         # the composed curation pipeline + its funnel: the three gates
         # restated as nested subqueries of the standalone oracles (one
         # source of truth per gate)

@@ -82,6 +82,7 @@ ANALYTICAL = [
     "repetition_scores",
     "dedup_chunks_corpus",
     "source_cap_sample",
+    "source_temperature_sample",
     "curation_pipeline",
     "curation_funnel",
     "pii_scrub",

@@ -45,6 +45,8 @@ CHUNK_TOKENS = 8
 SOURCE_CAP = 20
 # deterministic draw salt (shared with the DuckDB oracle restatement)
 CAP_SALT = "capsalt"
+# temperature-sampling draw salt (distinct stream from the cap draw)
+TEMP_SALT = "tempsamp"
 # benchmark-decontamination knobs: sliding-gram width and the
 # deterministic benchmark slice (doc_id % DECON_BENCH_MOD == 0)
 DECON_NGRAM = 8
@@ -190,6 +192,61 @@ def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "rank_in_source")
         .orderBy("source", "rank_in_source")
     )
+
+def source_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture resampling at T = 1/2 — the
+    standard pretraining rebalance (mBERT/XLM-R exponential smoothing,
+    Llama/PaLM mixture weights): target source shares ∝ n_s^T, so with
+    T < 1 small sources are up-weighted relative to natural sampling.
+    Realized as a per-document Bernoulli filter with per-source
+    acceptance rate
+
+        rate_s = (n_min / n_s)^(1-T)  =  sqrt(n_min / n_s)  at T = 1/2
+
+    normalized so the smallest source keeps everything (rate 1), and a
+    document is kept iff its salted-md5 uniform draw u < rate_s. T is
+    pinned to 1/2 deliberately: the rate is then one IEEE-754 sqrt of an
+    exact double ratio — correctly rounded by spec on every engine — so
+    the keep decision is bit-identical between Spark and the DuckDB
+    oracle with NO tolerance (a float `pow` would differ in the last
+    ulp across libm implementations).
+
+    Scale shape: the per-source count table is domains-sized (tiny), so
+    it broadcast-joins onto the corpus; n_min is one driver-side scalar
+    off that table (config-like state, as the IVF codebook); the draw
+    and the comparison are pure map-side expressions. No corpus shuffle
+    at all — at 100 TB this is a scan with a broadcast lookup."""
+    docs = _load(spark, sf_dir)
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_source"))
+    n_min = counts.agg(F.min("n_source")).first()[0]
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws("|", F.lit(TEMP_SALT), F.col("doc_id").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    rate = F.sqrt(F.lit(float(n_min)) / F.col("n_source").cast("double"))
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(counts), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_source",
+            F.round(rate, 6).alias("rate"),
+            (u < rate).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
 
 def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag corpus documents sharing any

@@ -411,6 +411,36 @@ def test_source_cap_deterministic_quota(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_source_temperature_sample_rates_and_determinism(spark):
+    import math
+
+    from smartreader_spark.functions.curation import source_temperature_sample
+
+    rows = [(i, f"doc {i} text", "big") for i in range(100)]
+    rows += [(200 + i, f"mid doc {i}", "mid") for i in range(25)]
+    rows += [(400 + i, f"tiny doc {i}", "tiny") for i in range(4)]
+    tmp = _write_docs(spark, rows)
+    try:
+        out1 = source_temperature_sample(spark, tmp).collect()
+        out2 = source_temperature_sample(spark, tmp).collect()
+        assert out1 == out2                          # deterministic draw
+        by = {}
+        for r in out1:
+            by.setdefault(r.source, []).append(r)
+        # the smallest source keeps everything: rate exactly 1.0
+        assert all(r.rate == 1.0 and r.keep for r in by["tiny"])
+        # rate_s = sqrt(n_min / n_s) at T = 1/2
+        assert by["big"][0].rate == round(math.sqrt(4 / 100), 6)   # 0.2
+        assert by["mid"][0].rate == round(math.sqrt(4 / 25), 6)    # 0.4
+        # realized keep fractions sit in the plausible band of the rate
+        kept_big = sum(r.keep for r in by["big"])
+        assert 4 <= kept_big <= 40                   # p=0.2, n=100
+        kept_mid = sum(r.keep for r in by["mid"])
+        assert 1 <= kept_mid <= 20                   # p=0.4, n=25
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_curation_pipeline_and_funnel_consistent(spark):
     """The funnel's stage counts must agree with the composed pipeline's
     output and be monotonically non-increasing."""
