@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         decontaminate_ngrams,
         dedup_chunks_corpus,
         repetition_scores,
+        sequence_pack,
         source_cap_sample,
         source_temperature_sample,
     )
@@ -453,6 +454,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": curation_funnel,
         "pii_scrub": pii_scrub,
         "decontaminate_ngrams": decontaminate_ngrams,
+        # training-sequence packing: deterministic per-source layout
+        # into fixed 2048-token sequences (cumsum window; integer math
+        # plus a power-of-two division, so cross-engine bit-identical)
+        "sequence_pack": sequence_pack,
     }
 
 
@@ -677,6 +682,8 @@ def oracle_sql() -> dict[str, str]:
         DECON_BENCH_MOD,
         DECON_NGRAM,
         DUP_TRIGRAM_MAX,
+        PACK_SALT,
+        SEQ_TOKENS,
         SOURCE_CAP,
         TOP_BIGRAM_MAX,
     )
@@ -1324,6 +1331,30 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(nov, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN per USING (doc_id)
             WHERE d.doc_id % {DECON_BENCH_MOD} <> 0
+            ORDER BY doc_id
+        """,
+        # --- training-sequence packing (functions/curation.py): per-
+        # source cumsum layout into fixed {SEQ_TOKENS}-token sequences.
+        # SEQ_TOKENS is a power of two so offset/B is an exact double
+        # scaling — floor() is bit-identical to Spark's.
+        "sequence_pack": f"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     CAST(greatest(len({_TOKS}), 1) AS BIGINT) AS n_tokens,
+                     md5('{PACK_SALT}' || '|' || CAST(doc_id AS VARCHAR)) AS pack_key
+              FROM documents
+            ), c AS (
+              SELECT doc_id, source, n_tokens, pack_key,
+                     sum(n_tokens) OVER (PARTITION BY source ORDER BY pack_key
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM t
+            )
+            SELECT doc_id, source, n_tokens, pack_key,
+                   CAST(floor((cum - n_tokens) / {float(SEQ_TOKENS)}) AS BIGINT) AS seq_first,
+                   CAST((cum - n_tokens) % {SEQ_TOKENS} AS BIGINT) AS seq_offset,
+                   CAST(floor((cum - 1) / {float(SEQ_TOKENS)})
+                        - floor((cum - n_tokens) / {float(SEQ_TOKENS)}) + 1 AS BIGINT) AS n_seqs
+            FROM c
             ORDER BY doc_id
         """,
     }

@@ -87,6 +87,8 @@ ANALYTICAL = [
     "curation_funnel",
     "pii_scrub",
     "decontaminate_ngrams",
+    # training-sequence packing (per-source cumsum layout)
+    "sequence_pack",
 ]
 
 

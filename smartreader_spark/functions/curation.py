@@ -56,6 +56,12 @@ DECON_BENCH_MOD = 97
 # 3-grams <= 0.30 of trigram occurrences
 TOP_BIGRAM_MAX = 0.20
 DUP_TRIGRAM_MAX = 0.30
+# training-sequence packing: context-window token budget (a power of
+# two ON PURPOSE — offset / SEQ_TOKENS is then an exact double scaling,
+# so floor() is bit-identical between Spark and the DuckDB oracle) and
+# the deterministic layout-order salt (a reproducible corpus shuffle)
+SEQ_TOKENS = 2048
+PACK_SALT = "packsalt"
 
 
 def _toks(col):
@@ -246,6 +252,58 @@ def source_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed-token-budget training sequences
+    (SEQ_TOKENS = 2048) — the concatenate-and-chop layout step a
+    GPT-style pretraining pipeline runs between curation and the data
+    loader. Documents are laid out per source in a deterministic salted
+    order (the same stable md5-draw family as the cap sampler: a
+    reproducible corpus shuffle), the running token offset is a window
+    cumulative sum, and a document starting at offset o with n tokens
+    occupies sequences floor(o/B) .. floor((o+n-1)/B) — long documents
+    legitimately span several sequences, exactly as block-causal
+    packing chops them.
+
+    Emits per doc: the layout key, token count, first sequence id, the
+    offset inside that sequence, and how many sequences it spans.
+
+    Scale shape: packing is per source (per data shard at 100 TB), so
+    the only shuffle is the window's hash partition on `source` — a
+    single GLOBAL running sum would serialize the corpus into one
+    partition, which is exactly why production pipelines pack per shard
+    and number sequences (shard, local_idx). Window state is one
+    running long per partition. SEQ_TOKENS is a power of two so the
+    offset/B division is an exact double scaling and floor() carries no
+    last-ulp hazard cross-engine."""
+    docs = _load(spark, sf_dir)
+    n_tok = F.greatest(F.size(_toks(F.col("text"))), F.lit(1)).cast("long")
+    pack_key = F.md5(
+        F.concat_ws("|", F.lit(PACK_SALT), F.col("doc_id").cast("string"))
+    )
+    base = docs.select(
+        "doc_id", "source", n_tok.alias("n_tokens"), pack_key.alias("pack_key")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("pack_key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    off = cum - F.col("n_tokens")
+    b = F.lit(float(SEQ_TOKENS))
+    seq_first = F.floor(off / b).cast("long")
+    seq_last = F.floor((cum - 1) / b).cast("long")
+    return base.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "pack_key",
+        seq_first.alias("seq_first"),
+        (off % SEQ_TOKENS).cast("long").alias("seq_offset"),
+        (seq_last - seq_first + 1).cast("long").alias("n_seqs"),
+    ).orderBy("doc_id")
 
 
 def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -441,6 +441,55 @@ def test_source_temperature_sample_rates_and_determinism(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_sequence_pack_layout(spark):
+    """Replays the per-source salted cumsum layout in pure Python and
+    checks sequence ids/offsets/span counts, including a doc that spans
+    a 2048-token boundary and the empty-doc one-token clamp."""
+    import hashlib
+
+    from smartreader_spark.functions.curation import (
+        PACK_SALT,
+        SEQ_TOKENS,
+        sequence_pack,
+    )
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(3000)), "a"),
+        (2, " ".join(f"x{i}" for i in range(100)), "a"),
+        (3, " ".join(f"y{i}" for i in range(2000)), "a"),
+        (4, "", "b"),  # clamps to 1 token
+        (5, "solo doc here", "b"),
+    ]
+    tmp = _write_docs(spark, rows)
+    try:
+        out1 = sequence_pack(spark, tmp).collect()
+        out2 = sequence_pack(spark, tmp).collect()
+        assert out1 == out2  # deterministic layout
+        by_id = {r.doc_id: r for r in out1}
+        n_tok = {1: 3000, 2: 100, 3: 2000, 4: 1, 5: 3}
+        assert {i: by_id[i].n_tokens for i in n_tok} == n_tok
+        for src, ids in (("a", [1, 2, 3]), ("b", [4, 5])):
+            order = sorted(
+                ids,
+                key=lambda i: hashlib.md5(
+                    f"{PACK_SALT}|{i}".encode()
+                ).hexdigest(),
+            )
+            off = 0
+            for i in order:
+                r = by_id[i]
+                assert r.source == src
+                assert r.seq_first == off // SEQ_TOKENS, i
+                assert r.seq_offset == off % SEQ_TOKENS, i
+                last = (off + n_tok[i] - 1) // SEQ_TOKENS
+                assert r.n_seqs == last - r.seq_first + 1, i
+                off += n_tok[i]
+        # source "a" holds 5100 tokens: some doc must span a boundary
+        assert any(by_id[i].n_seqs >= 2 for i in (1, 2, 3))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_curation_pipeline_and_funnel_consistent(spark):
     """The funnel's stage counts must agree with the composed pipeline's
     output and be monotonically non-increasing."""

@@ -96,7 +96,7 @@ def test_no_python_eval_in_analytical_plans(spark):
                  "doc_fingerprints", "ann_brute_force", "ann_ivf",
                  "repetition_scores", "dedup_chunks_corpus",
                  "source_cap_sample", "source_temperature_sample",
-                 "curation_pipeline",
+                 "curation_pipeline", "sequence_pack",
                  "curation_funnel", "pii_scrub", "decontaminate_ngrams"):
         plan = plan_of(qs[name](spark, SF))
         assert "Python" not in plan and "MapInPandas" not in plan, name
