@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         language_guess,
         quality_scores,
         token_counts,
+        unigram_surprisal,
     )
 
     def extract_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -441,6 +442,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": quality_scores,
         "language_guess": language_guess,
         "doc_fingerprints": doc_fingerprints,
+        # corpus-trained unigram LM cross-entropy filter (CCNet-style;
+        # per-token surprisal quantized to integer micro-nats so the
+        # per-doc aggregation is an exact order-independent integer sum)
+        "unigram_surprisal": unigram_surprisal,
         # corpus-curation ops (oracled): repetition quality, passage
         # dedup, per-source caps — functions/curation.py
         "repetition_scores": repetition_scores,
@@ -1228,6 +1233,52 @@ def oracle_sql() -> dict[str, str]:
                        substr(norm, CAST(floor(length(norm) / 2) AS INT) + 1, 64)) AS fp_sketch
             FROM t
             ORDER BY doc_id
+        """,
+        # corpus-trained unigram cross-entropy filter: the same fixed-
+        # point pipeline as the Spark op — surprisal quantized to integer
+        # micro-nats on the vocab table (one LN per distinct token), an
+        # exact integer sum per doc, one final IEEE division.
+        "unigram_surprisal": f"""
+            WITH tt AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), tok AS (
+              SELECT doc_id, unnest(toks) AS token FROM tt
+            ), tokf AS (
+              SELECT doc_id, token FROM tok WHERE token <> ''
+            ), counts AS (
+              SELECT token, count(*) AS c FROM tokf GROUP BY token
+            ), stats AS (
+              SELECT sum(c) AS n_total,
+                     sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS v_size
+              FROM counts
+            ), surp AS (
+              SELECT token,
+                     CAST(round(ln(
+                         (SELECT n_total + v_size + 1 FROM stats)::DOUBLE
+                         / (c + 1)) * 1e6) AS BIGINT) AS micro_nats
+              FROM counts WHERE c >= 2
+            ), oov AS (
+              SELECT CAST(round(ln(
+                  (SELECT n_total + v_size + 1 FROM stats)::DOUBLE
+                  ) * 1e6) AS BIGINT) AS micro_nats
+            ), per_doc AS (
+              SELECT t.doc_id,
+                     sum(COALESCE(s.micro_nats,
+                                  (SELECT micro_nats FROM oov))) AS s_micro,
+                     count(*) AS n_tokens
+              FROM tokf t LEFT JOIN surp s USING (token)
+              GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(p.n_tokens, 0) AS n_tokens,
+                   CASE WHEN COALESCE(p.n_tokens, 0) > 0
+                        THEN round(p.s_micro / (p.n_tokens * 1e6), 6)
+                        ELSE 0.0 END AS mean_surprisal_nats,
+                   (COALESCE(p.n_tokens, 0) > 0
+                    AND round(p.s_micro / (p.n_tokens * 1e6), 6) <= 3.5)
+                       AS passes_lm
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+            ORDER BY d.doc_id
         """,
         # --- corpus-curation ops (functions/curation.py) ----------------
         "repetition_scores": _rep_sql,

@@ -129,3 +129,85 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("fp_full"),
         F.md5(F.concat_ws("|", head, mid)).alias("fp_sketch"),
     ).orderBy("doc_id")
+
+
+def unigram_surprisal(spark: SparkSession, sf_dir: str,
+                      min_count: int = 2,
+                      max_mean_nats: float = 3.5) -> DataFrame:
+    """Corpus-trained unigram cross-entropy quality score — the
+    SQL-expressible analog of CCNet's KenLM perplexity filter (Wenzek
+    et al. 2020, "CCNet: Extracting High Quality Monolingual Datasets"):
+    train token frequencies on the corpus itself, score each document by
+    its mean per-token surprisal -ln p(t) under the add-one-smoothed
+    unigram model, and flag the low-surprisal (fluent, common-
+    vocabulary) documents. Rare-token spam and gibberish score high;
+    natural prose scores low. Like real perplexity filters, the cutoff
+    is corpus-calibrated (CCNet uses per-language percentiles); the
+    default 3.5 sits at the high tail of the synthetic corpus so both
+    flag branches are live. Reference parity: SmartReader has no LM
+    stage (single-document engine); this serves SURVEY §2's training-
+    data curation tier alongside repetition_scores/quality_scores.
+
+    Cross-engine determinism (the same fixed-point discipline as
+    source_temperature_sample): per-token surprisal is quantized to
+    integer micro-nats — ``round(ln(denom/(c+1)) * 1e6)`` as LONG —
+    on the *vocab* table, ONE ln per distinct token, so the
+    per-document aggregation is an exact integer sum (order-
+    independent, unlike a float sum over a shuffled explode) and the
+    final mean is a single correctly-rounded IEEE division. A 1-ulp
+    cross-engine ln difference flips a quantized long only within
+    ~1e-9 of a rounding boundary. The DuckDB oracle restates the same
+    fixed-point pipeline.
+
+    Scale shape: tokenize+explode is map-side; the vocab build is one
+    token-key groupBy with map-side partial aggregation; scoring is
+    (doc_id, token) ⋈ vocab. `min_count` floors the vocab (hapax
+    tokens collapse into the single OOV surprisal), which at production
+    scale caps the surprisal table to broadcastable size. Corpus totals
+    (N, V) are two scalars off one tiny agg — driver-side like the IVF
+    codebook, never per-row.
+    """
+    docs = _load(spark, sf_dir)
+    toks = F.split(_norm(F.col("text")), " ")
+    tok_df = docs.select("doc_id", F.explode(toks).alias("token")).where(
+        F.col("token") != ""
+    )
+    counts = tok_df.groupBy("token").agg(F.count("*").alias("c"))
+    stats = counts.agg(
+        F.sum("c").alias("n_total"),
+        F.sum(F.when(F.col("c") >= min_count, 1).otherwise(0)).alias("v_size"),
+    ).first()
+    # add-one smoothing over kept vocab + one OOV type; the normalizer
+    # counts every emission. Exact as a double (integer < 2^53).
+    denom = float(int(stats["n_total"]) + int(stats["v_size"]) + 1)
+    surp = counts.where(F.col("c") >= min_count).select(
+        "token",
+        F.round(F.log(F.lit(denom) / (F.col("c") + 1)) * 1e6)
+        .cast("long")
+        .alias("micro_nats"),
+    )
+    oov_micro = F.round(F.log(F.lit(denom)) * 1e6).cast("long")
+    per_doc = (
+        tok_df.join(surp, "token", "left")
+        .select("doc_id", F.coalesce(F.col("micro_nats"), oov_micro).alias("mn"))
+        .groupBy("doc_id")
+        .agg(F.sum("mn").alias("s_micro"), F.count("*").alias("n_tokens"))
+    )
+    mean_nats = F.when(
+        F.col("n_tokens") > 0,
+        F.round(F.col("s_micro") / (F.col("n_tokens") * 1e6), 6),
+    ).otherwise(F.lit(0.0))
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            mean_nats.alias("mean_surprisal_nats"),
+            (
+                (F.coalesce("n_tokens", F.lit(0)) > 0)
+                & (mean_nats <= F.lit(max_mean_nats))
+            ).alias("passes_lm"),
+        )
+        .orderBy("doc_id")
+    )

@@ -602,3 +602,44 @@ def test_pii_scrub_adjacency_order(spark):
     # because the email redaction already consumed its host
     assert (row.e, row.i, row.p) == (1, 2, 1)
     assert row.r == "[EMAIL] then [IPV4] [PHONE] end"
+
+
+def test_unigram_surprisal_oov_and_ordering(spark):
+    """Pins the LM-filter semantics on a hand-computable corpus: common-
+    vocabulary docs score the closed-form add-one surprisal; an all-hapax
+    doc (every token below min_count) takes exactly the OOV surprisal
+    ln(N+V+1); and a tightened threshold fails the gibberish doc only."""
+    import math
+
+    from smartreader_spark.functions.textqa import unigram_surprisal
+
+    tmp = tempfile.mkdtemp(prefix="unigram_")
+    try:
+        rows = [
+            (0, "the cat sat on the mat", "a"),
+            (1, "the cat sat on the mat", "a"),
+            (2, "zq1 zq2 zq3 zq4", "b"),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.parquet(f"{tmp}/documents.parquet")
+
+        out = {
+            r["doc_id"]: r
+            for r in unigram_surprisal(spark, tmp, max_mean_nats=2.0).collect()
+        }
+        # counts: the=4 cat=sat=on=mat=2, zq*=1 each -> N=16, V=5 kept,
+        # denom=22; micro-nat quantization makes these exact
+        q = lambda x: round(math.log(x) * 1e6)
+        mean_common = round((2 * q(22 / 5) + 4 * q(22 / 3)) / 6e6, 6)
+        mean_oov = round(4 * q(22.0) / 4e6, 6)
+        assert out[0]["mean_surprisal_nats"] == mean_common
+        assert out[1]["mean_surprisal_nats"] == mean_common
+        assert out[2]["mean_surprisal_nats"] == mean_oov
+        assert out[2]["n_tokens"] == 4
+        assert mean_oov > mean_common
+        assert (out[0]["passes_lm"], out[1]["passes_lm"], out[2]["passes_lm"]) == (
+            True, True, False,
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -97,7 +97,8 @@ def test_no_python_eval_in_analytical_plans(spark):
                  "repetition_scores", "dedup_chunks_corpus",
                  "source_cap_sample", "source_temperature_sample",
                  "curation_pipeline", "sequence_pack",
-                 "curation_funnel", "pii_scrub", "decontaminate_ngrams"):
+                 "curation_funnel", "pii_scrub", "decontaminate_ngrams",
+                 "unigram_surprisal"):
         plan = plan_of(qs[name](spark, SF))
         assert "Python" not in plan and "MapInPandas" not in plan, name
 
