@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from smartreader_spark.functions.curation import (
         curation_funnel,
         curation_pipeline,
+        dataset_split,
         decontaminate_ngrams,
         dedup_chunks_corpus,
         repetition_scores,
@@ -463,6 +464,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # into fixed 2048-token sequences (cumsum window; integer math
         # plus a power-of-two division, so cross-engine bit-identical)
         "sequence_pack": sequence_pack,
+        # reproducible hash-based train/validation/test split (salted
+        # md5 → uniform; pure projection, stable under corpus growth)
+        "dataset_split": dataset_split,
     }
 
 
@@ -1388,6 +1392,23 @@ def oracle_sql() -> dict[str, str]:
         # source cumsum layout into fixed {SEQ_TOKENS}-token sequences.
         # SEQ_TOKENS is a power of two so offset/B is an exact double
         # scaling — floor() is bit-identical to Spark's.
+        # reproducible hash split: same salted-md5 → uniform idiom as
+        # the temperature sampler; boundaries compared on the exact
+        # IEEE quotient, so assignment is bit-identical cross-engine
+        "dataset_split": """
+            SELECT doc_id, source,
+                   round(u, 6) AS u,
+                   CASE WHEN u < 0.9 THEN 'train'
+                        WHEN u < 0.95 THEN 'validation'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id, source,
+                     ('0x' || substr(md5('datasplit|' || doc_id::VARCHAR), 1, 8))::BIGINT
+                         / 4294967296.0 AS u
+              FROM documents
+            )
+            ORDER BY doc_id
+        """,
         "sequence_pack": f"""
             WITH t AS (
               SELECT doc_id, source,

@@ -63,6 +63,9 @@ ANALYTICAL = [
     "anti_join_resume",
     "token_counts",
     "quality_scores",
+    # corpus-trained unigram LM cross-entropy gate (vocab build +
+    # broadcast scoring join; integer micro-nat per-doc sums)
+    "unigram_surprisal",
     "language_guess",
     "doc_fingerprints",
     "dedup_exact",
@@ -89,6 +92,8 @@ ANALYTICAL = [
     "decontaminate_ngrams",
     # training-sequence packing (per-source cumsum layout)
     "sequence_pack",
+    # reproducible hash-based train/valid/test split (pure projection)
+    "dataset_split",
 ]
 
 

@@ -412,3 +412,58 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("stage")
+
+
+# hash-split salt + fraction boundaries (train < 0.9 <= validation
+# < 0.95 <= test); the salt keeps this draw independent of the cap,
+# temperature and packing streams
+SPLIT_SALT = "datasplit"
+SPLIT_TRAIN_MAX = 0.9
+SPLIT_VALID_MAX = 0.95
+
+
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/validation/test assignment — the
+    reproducible-split step a training pipeline runs before writing
+    shards. The assignment key is a salted md5 of the doc id mapped to
+    a uniform in [0,1) (first 8 hex chars / 2^32 — the exact idiom of
+    `source_temperature_sample`, so the decision is one IEEE-exact
+    division compared against literal boundaries, bit-identical
+    cross-engine). Hash-splitting (vs random-with-seed) is what real
+    pipelines use because it is *stable under growth*: adding documents
+    never reassigns existing ones, and any engine that can compute md5
+    reproduces the split with no coordination.
+
+    Scale shape: a pure narrow projection — no shuffle, no state, no
+    driver scalars; at 10^12 docs it fuses into whatever scan feeds it.
+    The reference has no training-split analog (single-document
+    engine); this serves SURVEY §2's training-data tier.
+    """
+    docs = _load(spark, sf_dir)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit(SPLIT_SALT), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    split = (
+        F.when(u < F.lit(SPLIT_TRAIN_MAX), F.lit("train"))
+        .when(u < F.lit(SPLIT_VALID_MAX), F.lit("validation"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.round(u, 6).alias("u"),
+        split.alias("split"),
+    ).orderBy("doc_id")

@@ -172,7 +172,15 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str,
     tok_df = docs.select("doc_id", F.explode(toks).alias("token")).where(
         F.col("token") != ""
     )
-    counts = tok_df.groupBy("token").agg(F.count("*").alias("c"))
+    # materialize the vocab once (vocab-sized, corpus-independent): the
+    # stats agg AND the scoring join both read it, so without this the
+    # tokenize+explode+groupBy — a full corpus scan + shuffle — would
+    # run twice (the connected_components localCheckpoint precedent)
+    counts = (
+        tok_df.groupBy("token")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     stats = counts.agg(
         F.sum("c").alias("n_total"),
         F.sum(F.when(F.col("c") >= min_count, 1).otherwise(0)).alias("v_size"),

@@ -643,3 +643,30 @@ def test_unigram_surprisal_oov_and_ordering(spark):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_dataset_split_stable_under_growth(spark):
+    """The property hash splits exist for: a document's assignment
+    depends only on its id, so re-running over a grown (here: shrunk)
+    corpus never reassigns existing documents; fractions land near the
+    0.9/0.05/0.05 boundaries."""
+    from smartreader_spark.functions.curation import dataset_split
+
+    full = {r["doc_id"]: r["split"]
+            for r in dataset_split(spark, SF).collect()}
+    n = len(full)
+    fr_train = sum(1 for s in full.values() if s == "train") / n
+    fr_valid = sum(1 for s in full.values() if s == "validation") / n
+    assert 0.85 <= fr_train <= 0.95 and 0.02 <= fr_valid <= 0.08
+
+    tmp = tempfile.mkdtemp(prefix="split_")
+    try:
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        docs.where(F.col("doc_id") % 3 == 0).write.parquet(
+            f"{tmp}/documents.parquet"
+        )
+        sub = {r["doc_id"]: r["split"]
+               for r in dataset_split(spark, tmp).collect()}
+        assert sub and all(full[d] == s for d, s in sub.items())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -98,7 +98,7 @@ def test_no_python_eval_in_analytical_plans(spark):
                  "source_cap_sample", "source_temperature_sample",
                  "curation_pipeline", "sequence_pack",
                  "curation_funnel", "pii_scrub", "decontaminate_ngrams",
-                 "unigram_surprisal"):
+                 "unigram_surprisal", "dataset_split"):
         plan = plan_of(qs[name](spark, SF))
         assert "Python" not in plan and "MapInPandas" not in plan, name
 
@@ -282,4 +282,18 @@ def test_pii_scrub_is_shuffle_free(spark):
     assert all("rangepartitioning" in l for l in exchanges), exchanges
     reads = [l for l in formatted(df).splitlines() if "ReadSchema" in l]
     assert reads and all("lang" not in r and "source" not in r
+                         for r in reads), reads
+
+
+def test_dataset_split_is_pure_projection(spark):
+    """The hash split is a map stage: no exchange beyond the
+    presentation sort, and the scan pruned to (doc_id, source)."""
+    import __spark_entry__ as e
+
+    df = e.queries()["dataset_split"](spark, SF)
+    plan = plan_of(df)
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    assert all("rangepartitioning" in l for l in exchanges), exchanges
+    reads = [l for l in formatted(df).splitlines() if "ReadSchema" in l]
+    assert reads and all("text" not in r and "lang" not in r
                          for r in reads), reads
