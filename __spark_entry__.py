@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sequence_pack,
         source_cap_sample,
         source_temperature_sample,
+        training_layout,
     )
     from smartreader_spark.functions.privacy import pii_scrub
     from smartreader_spark.functions.textqa import (
@@ -467,6 +468,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reproducible hash-based train/validation/test split (salted
         # md5 → uniform; pure projection, stable under corpus growth)
         "dataset_split": dataset_split,
+        # the full curation→split→packing composition (gates, train
+        # filter, per-source layout — one job, no corpus re-read)
+        "training_layout": training_layout,
     }
 
 
@@ -1388,10 +1392,6 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id % {DECON_BENCH_MOD} <> 0
             ORDER BY doc_id
         """,
-        # --- training-sequence packing (functions/curation.py): per-
-        # source cumsum layout into fixed {SEQ_TOKENS}-token sequences.
-        # SEQ_TOKENS is a power of two so offset/B is an exact double
-        # scaling — floor() is bit-identical to Spark's.
         # reproducible hash split: same salted-md5 → uniform idiom as
         # the temperature sampler; boundaries compared on the exact
         # IEEE quotient, so assignment is bit-identical cross-engine
@@ -1409,6 +1409,10 @@ def oracle_sql() -> dict[str, str]:
             )
             ORDER BY doc_id
         """,
+        # --- training-sequence packing (functions/curation.py): per-
+        # source cumsum layout into fixed SEQ_TOKENS-token sequences.
+        # SEQ_TOKENS is a power of two so offset/B is an exact double
+        # scaling — floor() is bit-identical to Spark's.
         "sequence_pack": f"""
             WITH t AS (
               SELECT doc_id, source,
@@ -1421,6 +1425,39 @@ def oracle_sql() -> dict[str, str]:
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
               FROM t
             )
+            SELECT doc_id, source, n_tokens, pack_key,
+                   CAST(floor((cum - n_tokens) / {float(SEQ_TOKENS)}) AS BIGINT) AS seq_first,
+                   CAST((cum - n_tokens) % {SEQ_TOKENS} AS BIGINT) AS seq_offset,
+                   CAST(floor((cum - 1) / {float(SEQ_TOKENS)})
+                        - floor((cum - n_tokens) / {float(SEQ_TOKENS)}) + 1 AS BIGINT) AS n_seqs
+            FROM c
+            ORDER BY doc_id
+        """,
+        # --- composed curation→split→packing (functions/curation.py
+        # training_layout): the gate CTEs are the standalone oracles
+        # verbatim, the train filter is the dataset_split uniform, the
+        # layout window is the sequence_pack math over survivors only
+        "training_layout": f"""
+            WITH cap AS ({_cap_sql}),
+                 rep AS ({_rep_sql}),
+                 ch AS ({_chunks_sql}),
+                 surv AS (
+                   SELECT cap.doc_id, cap.source, rep.n_tokens
+                   FROM cap
+                   JOIN rep ON cap.doc_id = rep.doc_id AND rep.passes_repetition
+                   JOIN ch ON cap.doc_id = ch.doc_id AND ch.keep_doc
+                 ), base AS (
+                   SELECT doc_id, source, n_tokens,
+                          md5('{PACK_SALT}' || '|' || CAST(doc_id AS VARCHAR)) AS pack_key
+                   FROM surv
+                   WHERE ('0x' || substr(md5('datasplit|' || doc_id::VARCHAR), 1, 8))::BIGINT
+                         / 4294967296.0 < 0.9
+                 ), c AS (
+                   SELECT doc_id, source, n_tokens, pack_key,
+                          sum(n_tokens) OVER (PARTITION BY source ORDER BY pack_key
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                   FROM base
+                 )
             SELECT doc_id, source, n_tokens, pack_key,
                    CAST(floor((cum - n_tokens) / {float(SEQ_TOKENS)}) AS BIGINT) AS seq_first,
                    CAST((cum - n_tokens) % {SEQ_TOKENS} AS BIGINT) AS seq_offset,

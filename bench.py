@@ -94,6 +94,8 @@ ANALYTICAL = [
     "sequence_pack",
     # reproducible hash-based train/valid/test split (pure projection)
     "dataset_split",
+    # composed curation → train-split → per-source sequence packing
+    "training_layout",
 ]
 
 

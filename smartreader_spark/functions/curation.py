@@ -279,12 +279,22 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     last-ulp hazard cross-engine."""
     docs = _load(spark, sf_dir)
     n_tok = F.greatest(F.size(_toks(F.col("text"))), F.lit(1)).cast("long")
-    pack_key = F.md5(
+    base = docs.select(
+        "doc_id", "source", n_tok.alias("n_tokens"), _pack_key().alias("pack_key")
+    )
+    return _pack_layout(base)
+
+
+def _pack_key():
+    return F.md5(
         F.concat_ws("|", F.lit(PACK_SALT), F.col("doc_id").cast("string"))
     )
-    base = docs.select(
-        "doc_id", "source", n_tok.alias("n_tokens"), pack_key.alias("pack_key")
-    )
+
+
+def _pack_layout(base: DataFrame) -> DataFrame:
+    """The shared packing math over a (doc_id, source, n_tokens,
+    pack_key) table — used by `sequence_pack` (raw corpus) and
+    `training_layout` (curation+split survivors)."""
     w = (
         Window.partitionBy("source")
         .orderBy("pack_key")
@@ -304,6 +314,61 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         (off % SEQ_TOKENS).cast("long").alias("seq_offset"),
         (seq_last - seq_first + 1).cast("long").alias("n_seqs"),
     ).orderBy("doc_id")
+
+
+def training_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation-to-layout composition a pretraining data job
+    actually ships: the three curation gates (quota → repetition →
+    passage dedup, exactly `curation_pipeline`'s order), then the
+    train-slice hash split (`dataset_split` semantics as a pure filter —
+    no join needed, the uniform is a function of doc_id alone), then
+    per-source sequence packing over the SURVIVORS. The packed offsets
+    differ from `sequence_pack`'s raw-corpus layout precisely because
+    curation removed rows upstream — which is the point: this query
+    value-proves that the gates, the split and the layout compose
+    without re-reading the corpus between stages.
+
+    Scale shape inherits from its parts: the gates' doc_id equi-joins,
+    one map-side split filter, one window shuffle hashed on `source`.
+    At 100 TB the only new cost over `curation_pipeline` is that final
+    per-shard window — the same single-exchange argument as
+    `sequence_pack`."""
+    surv = (
+        source_cap_sample(spark, sf_dir)
+        .select("doc_id", "source")
+        .join(
+            repetition_scores(spark, sf_dir)
+            .filter(F.col("passes_repetition"))
+            .select("doc_id", "n_tokens"),
+            "doc_id",
+        )
+        .join(
+            dedup_chunks_corpus(spark, sf_dir)
+            .filter(F.col("keep_doc"))
+            .select("doc_id"),
+            "doc_id",
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit(SPLIT_SALT), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    base = surv.where(u < F.lit(SPLIT_TRAIN_MAX)).select(
+        "doc_id", "source", "n_tokens", _pack_key().alias("pack_key")
+    )
+    return _pack_layout(base)
 
 
 def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -670,3 +670,34 @@ def test_dataset_split_stable_under_growth(spark):
         assert sub and all(full[d] == s for d, s in sub.items())
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_training_layout_composes_gates_split_and_packing(spark):
+    """training_layout's rows are exactly curation survivors ∩ train
+    split, and its per-source offsets are the contiguous cumsum of the
+    survivors' token counts (i.e. packing genuinely ran AFTER the
+    gates, not over the raw corpus)."""
+    from smartreader_spark.functions.curation import (
+        curation_pipeline,
+        dataset_split,
+        training_layout,
+    )
+
+    layout = training_layout(spark, SF).collect()
+    surv = {r["doc_id"] for r in curation_pipeline(spark, SF).collect()}
+    train = {r["doc_id"] for r in dataset_split(spark, SF).collect()
+             if r["split"] == "train"}
+    assert {r["doc_id"] for r in layout} == (surv & train)
+
+    by_source = {}
+    for r in layout:
+        by_source.setdefault(r["source"], []).append(r)
+    assert by_source
+    for rows in by_source.values():
+        rows.sort(key=lambda r: r["pack_key"])
+        cum = 0
+        for r in rows:
+            assert r["seq_first"] == cum // 2048
+            assert r["seq_offset"] == cum % 2048
+            cum += r["n_tokens"]
+            assert r["n_seqs"] == (cum - 1) // 2048 - r["seq_first"] + 1

@@ -98,7 +98,7 @@ def test_no_python_eval_in_analytical_plans(spark):
                  "source_cap_sample", "source_temperature_sample",
                  "curation_pipeline", "sequence_pack",
                  "curation_funnel", "pii_scrub", "decontaminate_ngrams",
-                 "unigram_surprisal", "dataset_split"):
+                 "unigram_surprisal", "dataset_split", "training_layout"):
         plan = plan_of(qs[name](spark, SF))
         assert "Python" not in plan and "MapInPandas" not in plan, name
 
@@ -297,3 +297,20 @@ def test_dataset_split_is_pure_projection(spark):
     reads = [l for l in formatted(df).splitlines() if "ReadSchema" in l]
     assert reads and all("text" not in r and "lang" not in r
                          for r in reads), reads
+
+
+def test_training_layout_single_window_no_cartesian(spark):
+    """The curation→split→packing composition must stay equi-join-only
+    (the gates' doc_id joins) with exactly one Window operator — the
+    per-source packing cumsum; a second window or a nested-loop join
+    would mean a stage re-derived instead of composed."""
+    import __spark_entry__ as e
+
+    df = e.queries()["training_layout"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the gates use window-based ranking internally (source_cap, chunk
+    # occurrence) — but the PACKING cumsum must appear exactly once:
+    assert plan.count("RunningWindowFunction") <= 1
+    assert "Window" in plan
