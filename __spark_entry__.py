@@ -83,7 +83,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         brute_force_topk,
         ivf_topk,
         lsh_bucketed_topk,
+        semantic_dedup,
     )
+    from smartreader_spark.functions.retrieval import bm25_search
     from smartreader_spark.functions.components import dedup_components
     from smartreader_spark.functions.curation import (
         curation_funnel,
@@ -91,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dataset_split,
         decontaminate_ngrams,
         dedup_chunks_corpus,
+        dsir_importance,
         repetition_scores,
         sequence_pack,
         source_cap_sample,
@@ -471,6 +474,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the full curation→split→packing composition (gates, train
         # filter, per-source layout — one job, no corpus re-read)
         "training_layout": training_layout,
+        # SemDeDup cluster-bounded semantic dedup: IVF-cell candidate
+        # geometry (codebook literals, map-side assignment), min-id
+        # representative per intra-cell duplicate group
+        "semantic_dedup": semantic_dedup,
+        # Okapi BM25 top-k keyword retrieval — idf quantized to integer
+        # micro-units on the term dictionary so per-doc scores are exact
+        # integer sums; rank ties broken on the integer score
+        "bm25_search": bm25_search,
+        # DSIR hashed-ngram importance reweighting toward a target
+        # source slice (fixed-width bucket model, micro-nat log-ratios)
+        "dsir_importance": dsir_importance,
     }
 
 
@@ -707,6 +721,20 @@ def oracle_sql() -> dict[str, str]:
         IPV4_TOKEN,
         PHONE_RE,
         PHONE_TOKEN,
+    )
+    from smartreader_spark.functions.curation import (
+        DSIR_BUCKETS,
+        DSIR_TARGET_SOURCE,
+    )
+    from smartreader_spark.functions.retrieval import BM25_QUERIES, BM25_TOPK
+    from smartreader_spark.functions.similarity import (
+        IVF_CELLS,
+        SEMDEDUP_THRESHOLD,
+    )
+
+    # the literal BM25 query-term table, shared shape with the Spark side
+    bm25_vals = ", ".join(
+        f"({qid}, '{t}')" for qid, q in BM25_QUERIES for t in q.split()
     )
 
     # standalone curation oracles, hoisted so the composed
@@ -1465,5 +1493,151 @@ def oracle_sql() -> dict[str, str]:
                         - floor((cum - n_tokens) / {float(SEQ_TOKENS)}) + 1 AS BIGINT) AS n_seqs
             FROM c
             ORDER BY doc_id
+        """,
+        # --- SemDeDup cluster-bounded semantic dedup (functions/
+        # similarity.py): the codebook is rebuilt from the view exactly
+        # as the Spark side collects it (vec_id < IVF_CELLS, cell =
+        # vec_id); assignment rounds cell cosines to 6 decimals with the
+        # ann_ivf tie-break (score DESC, cell ASC); vectors are unit-
+        # normalized once and the pair score is one dot product
+        "semantic_dedup": f"""
+            WITH emb AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ), cents AS (
+              SELECT vec_id::INT AS cell, e AS ce FROM emb
+              WHERE vec_id < {IVF_CELLS}
+            ), cellscore AS (
+              SELECT emb.vec_id, emb.e, c.cell,
+                     round(list_dot_product(emb.e, c.ce)
+                           / (sqrt(list_dot_product(emb.e, emb.e))
+                              * sqrt(list_dot_product(c.ce, c.ce))), 6) AS s
+              FROM emb, cents c
+            ), assign AS (
+              SELECT vec_id, e, cell FROM (
+                SELECT vec_id, e, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, cell ASC) AS rn
+                FROM cellscore) WHERE rn = 1
+            ), unit AS (
+              SELECT vec_id, cell,
+                     list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u
+              FROM assign
+            ), pairs AS (
+              SELECT a.vec_id AS a_id, b.vec_id AS b_id
+              FROM unit a JOIN unit b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+              WHERE round(list_dot_product(a.u, b.u), 6) >= {SEMDEDUP_THRESHOLD}
+            ), dups AS (
+              SELECT b_id, min(a_id) AS dup_of FROM pairs GROUP BY b_id
+            )
+            SELECT u.vec_id, u.cell, d.dup_of,
+                   (d.dup_of IS NULL) AS is_kept
+            FROM unit u LEFT JOIN dups d ON u.vec_id = d.b_id
+            ORDER BY u.vec_id
+        """,
+        # --- Okapi BM25 top-k retrieval (functions/retrieval.py): idf
+        # quantized to integer micro-units on the term dictionary, per-
+        # doc scores are exact integer sums, rank ties broken on the
+        # integer micro score then doc_id — the decimal literals (2.2 /
+        # 1.2 / 0.25 / 0.75) parse to identical doubles in both engines
+        "bm25_search": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), ex AS (
+              SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t
+            ), base AS (
+              SELECT * FROM ex WHERE term <> ''
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+              FROM base GROUP BY doc_id, term
+            ), stats AS (
+              SELECT count(*)::DOUBLE AS n,
+                     sum(len(toks))::DOUBLE / count(*)::DOUBLE AS avgdl
+              FROM t
+            ), qterms AS (
+              SELECT * FROM (VALUES {bm25_vals}) q(query_id, term)
+            ), dfv AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), qt AS (
+              SELECT q.query_id, q.term,
+                     CAST(round(ln(1.0 + ((SELECT n FROM stats) - df + 0.5)
+                                        / (df + 0.5)) * 1e6) AS BIGINT)
+                         AS idf_micro
+              FROM qterms q JOIN dfv USING (term)
+            ), cand AS (
+              SELECT qt.query_id, tf.doc_id,
+                     CAST(round(qt.idf_micro
+                         * ((tf.tf * 2.2)
+                            / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl
+                                 / (SELECT avgdl FROM stats)))))
+                          AS BIGINT) AS c_micro
+              FROM tf JOIN qt USING (term)
+            ), scored AS (
+              SELECT query_id, doc_id,
+                     CAST(sum(c_micro) AS BIGINT) AS s_micro,
+                     count(*) AS n_terms_matched
+              FROM cand GROUP BY query_id, doc_id
+            ), ranked AS (
+              SELECT query_id, doc_id, s_micro, n_terms_matched,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY s_micro DESC, doc_id ASC)
+                         AS rank
+              FROM scored
+            )
+            SELECT query_id, doc_id,
+                   round(s_micro / 1e6, 6) AS score,
+                   n_terms_matched, rank
+            FROM ranked WHERE rank <= {BM25_TOPK}
+            ORDER BY query_id, rank
+        """,
+        # --- DSIR hashed-ngram importance reweighting (functions/
+        # curation.py): unigrams + word bigrams hashed into DSIR_BUCKETS
+        # via the md5-prefix idiom; per-bucket log-ratios quantized to
+        # integer micro-nats so the per-doc sum is exact
+        "dsir_importance": f"""
+            WITH t AS (
+              SELECT doc_id, source, {_TOKS} AS toks FROM documents
+            ), uni AS (
+              SELECT doc_id, source, unnest(toks) AS gm FROM t
+            ), bi AS (
+              SELECT doc_id, source, toks[i] || ' ' || toks[i + 1] AS gm
+              FROM (SELECT doc_id, source, toks,
+                           unnest(range(1, len(toks))) AS i FROM t)
+            ), g AS (
+              SELECT * FROM uni UNION ALL SELECT * FROM bi
+            ), feat AS (
+              SELECT doc_id, source,
+                     ('0x' || substr(md5(gm), 1, 8))::BIGINT % {DSIR_BUCKETS} AS b
+              FROM g
+            ), counts AS (
+              SELECT b, count(*) AS c_raw,
+                     sum(CASE WHEN source = '{DSIR_TARGET_SOURCE}'
+                              THEN 1 ELSE 0 END) AS c_tgt
+              FROM feat GROUP BY b
+            ), stats AS (
+              SELECT (sum(c_raw) + {DSIR_BUCKETS})::DOUBLE AS denom_r,
+                     (sum(c_tgt) + {DSIR_BUCKETS})::DOUBLE AS denom_t
+              FROM counts
+            ), lr AS (
+              SELECT b,
+                     CAST(round(ln(
+                         ((c_tgt + 1) / (SELECT denom_t FROM stats))
+                         / ((c_raw + 1) / (SELECT denom_r FROM stats))
+                       ) * 1e6) AS BIGINT) AS micro
+              FROM counts
+            ), per AS (
+              SELECT doc_id,
+                     CAST(sum(micro) AS BIGINT) AS s_micro,
+                     count(*) AS n_feats
+              FROM feat JOIN lr USING (b) GROUP BY doc_id
+            )
+            SELECT d.doc_id, d.source,
+                   coalesce(n_feats, 0) AS n_feats,
+                   CASE WHEN coalesce(n_feats, 0) > 0
+                        THEN round(s_micro / (n_feats * 1e6), 6)
+                        ELSE 0.0 END AS avg_logratio,
+                   coalesce(s_micro > 0, false) AS selected
+            FROM documents d LEFT JOIN per USING (doc_id)
+            ORDER BY d.doc_id
         """,
     }

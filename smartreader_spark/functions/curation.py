@@ -62,6 +62,10 @@ DUP_TRIGRAM_MAX = 0.30
 # the deterministic layout-order salt (a reproducible corpus shuffle)
 SEQ_TOKENS = 2048
 PACK_SALT = "packsalt"
+# DSIR importance-reweighting knobs: hashed-feature bucket count (the
+# paper's fixed-width hashed n-gram space) and the target domain
+DSIR_BUCKETS = 64
+DSIR_TARGET_SOURCE = "src0"
 
 
 def _toks(col):
@@ -532,3 +536,101 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(u, 6).alias("u"),
         split.alias("split"),
     ).orderBy("doc_id")
+
+
+def dsir_importance(spark: SparkSession, sf_dir: str,
+                    target_source: str = DSIR_TARGET_SOURCE,
+                    n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by the log-likelihood ratio of its hashed n-gram features
+    under a target-domain unigram-over-buckets model vs the raw-corpus
+    model, so documents that look like the target domain float to the
+    top. Features are unigrams + word bigrams hashed into a FIXED
+    n_buckets-wide space (the paper's hashed n-gram trick — the model
+    size is n_buckets, independent of corpus vocabulary), with add-one
+    smoothing over the buckets. The target here is one source slice
+    (source == target_source), the common "make the web corpus look
+    like Wikipedia" setup.
+
+    Cross-engine determinism (the unigram_surprisal fixed-point
+    discipline): the per-bucket log-ratio
+    ln(((c_tgt+1)/denom_t) / ((c_raw+1)/denom_r)) is quantized to
+    integer micro-nats on the BUCKET table (one ln per bucket, ≤
+    n_buckets of them), so the per-document aggregation is an exact
+    integer sum and the mean is one correctly-rounded division. The
+    bucket hash is the first 8 hex chars of md5 mod n_buckets —
+    restatable verbatim in the DuckDB oracle.
+
+    100-TB shape: one corpus pass builds the bucket counts (groupBy on
+    a ≤ n_buckets-cardinality key, map-side partials collapse it to
+    nothing); the counts table is localCheckpointed so the stats agg
+    and the scoring join share that single pass; scoring joins the
+    feature stream against a ≤ n_buckets-row table → automatic
+    broadcast. No shuffle wider than the (doc_id) rollup.
+    """
+    docs = _load(spark, sf_dir)
+    toks = _toks(F.col("text"))
+    base = docs.select("doc_id", "source", toks.alias("toks")).select(
+        "doc_id",
+        "source",
+        F.concat(F.col("toks"), _word_grams(F.col("toks"), 2)).alias("grams"),
+    )
+    feat = base.select(
+        "doc_id", "source", F.explode("grams").alias("g")
+    ).select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        ).alias("b"),
+    )
+    counts = (
+        feat.groupBy("b")
+        .agg(
+            F.count("*").alias("c_raw"),
+            F.sum(
+                F.when(F.col("source") == target_source, 1).otherwise(0)
+            ).alias("c_tgt"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    s = counts.agg(
+        F.sum("c_raw").alias("n_raw"), F.sum("c_tgt").alias("n_tgt")
+    ).first()
+    denom_r = float(int(s["n_raw"]) + n_buckets)
+    denom_t = float(int(s["n_tgt"]) + n_buckets)
+    lr = counts.select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("c_tgt") + 1) / F.lit(denom_t))
+                / ((F.col("c_raw") + 1) / F.lit(denom_r))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("micro"),
+    )
+    per = (
+        feat.join(lr, "b")
+        .groupBy("doc_id")
+        .agg(F.sum("micro").alias("s_micro"), F.count("*").alias("n_feats"))
+    )
+    avg = F.when(
+        F.col("n_feats") > 0,
+        F.round(F.col("s_micro") / (F.col("n_feats") * 1e6), 6),
+    ).otherwise(F.lit(0.0))
+    return (
+        docs.select("doc_id", "source")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+            avg.alias("avg_logratio"),
+            F.coalesce(F.col("s_micro") > 0, F.lit(False)).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )

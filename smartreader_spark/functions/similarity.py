@@ -173,6 +173,80 @@ def ivf_topk(spark: SparkSession, sf_dir: str,
     )
 
 
+SEMDEDUP_THRESHOLD = 0.4  # same cosine bar as dedup_embedding_cosine
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str,
+                   threshold: float = SEMDEDUP_THRESHOLD,
+                   n_cells: int = IVF_CELLS) -> DataFrame:
+    """SemDeDup-style cluster-bounded semantic deduplication (Abbas et
+    al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication"): assign every embedding to its nearest
+    coarse-quantizer centroid, compute pairwise cosine ONLY within each
+    cluster, and drop every vector that has an above-threshold neighbor
+    with a smaller vec_id in its cluster (the smallest id is the kept
+    representative — the paper keeps one exemplar per intra-cluster
+    duplicate group; min-id is the deterministic choice).
+
+    Relation to the other near-dup paths: `embedding_near_dup_pairs`
+    bounds candidates by SRP bucket (recall degrades near hyperplanes);
+    this op bounds them by k-means-style cell — the third published
+    candidate-generation geometry, and the one SemDeDup showed scales
+    to LAION-scale corpora. The codebook here is the same deterministic
+    sampled-vector quantizer as `ivf_topk` (vec_id < n_cells, cell =
+    vec_id), inlined as literals so assignment is pure map-side
+    expression work.
+
+    100-TB shape: one map-side assignment pass (no shuffle, no join to
+    build clusters), then ONE equi-join on the cell id — pair volume is
+    sum(cell_size²), controlled by n_cells, which at production scale
+    grows with the corpus (SemDeDup uses ~110k clusters for LAION) to
+    keep cells bounded. Vectors are L2-normalized ONCE before the join
+    (a projection), so the pair score is a single zip_with dot — not a
+    per-pair norm recomputation.
+    """
+    from pyspark.sql.window import Window  # noqa: F401  (parity w/ siblings)
+
+    emb = _load(spark, sf_dir).select("vec_id", "embedding")
+    centroids = [
+        r["embedding"]
+        for r in emb.filter(F.col("vec_id") < n_cells).orderBy("vec_id").collect()
+    ]
+    scores = _cell_scores(F.col("embedding"), centroids)
+    assigned = emb.withColumn(
+        "cell", (-F.array_max(scores)["nc"]).cast("int")
+    ).withColumn("nrm", _norm(F.col("embedding")))
+    unit = assigned.select(
+        "vec_id",
+        "cell",
+        F.transform("embedding", lambda x: x / F.col("nrm")).alias("u"),
+    )
+    a = unit.select(
+        F.col("vec_id").alias("a_id"), "cell", F.col("u").alias("ua")
+    )
+    b = unit.select(
+        F.col("vec_id").alias("b_id"), "cell", F.col("u").alias("ub")
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cosine", F.round(_dot(F.col("ua"), F.col("ub")), 6))
+        .filter(F.col("cosine") >= threshold)
+    )
+    dups = pairs.groupBy("b_id").agg(F.min("a_id").alias("dup_of"))
+    return (
+        unit.select("vec_id", "cell")
+        .join(dups, unit["vec_id"] == dups["b_id"], "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("dup_of"),
+            F.col("dup_of").isNull().alias("is_kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def _srp_bucket(col, n_planes: int = 8):
     """Sign-random-projection bucket id: plane p = deterministic pseudo-
     random unit-free vector derived from md5(p||i) (same formula is

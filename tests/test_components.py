@@ -156,3 +156,141 @@ def test_ivf_topk_matches_pure_python_restatement(spark):
         for r in ivf_topk(spark, SF).collect()
     ]
     assert got == expected
+
+
+def test_semantic_dedup_matches_pure_python_restatement(spark):
+    """Full pure-Python twin of the SemDeDup operator: sampled-vector
+    codebook, rounded-cosine cell assignment with the (score desc, cell
+    asc) tie-break, unit-normalized within-cell pair dots, min-id
+    representative — row-identical output required."""
+    from smartreader_spark.functions.similarity import (
+        IVF_CELLS,
+        SEMDEDUP_THRESHOLD,
+        semantic_dedup,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e"))
+        .collect()
+    )
+    vecs = {r["vec_id"]: r["e"] for r in rows}
+    cents = [vecs[i] for i in range(IVF_CELLS)]
+
+    def assign(v):
+        ranked = sorted(
+            ((_round6(_cos(v, c)), cell) for cell, c in enumerate(cents)),
+            key=lambda t: (-t[0], t[1]),
+        )
+        return ranked[0][1]
+
+    cell = {vid: assign(v) for vid, v in vecs.items()}
+    unit = {
+        vid: [x / math.sqrt(_dot(v, v)) for x in v] for vid, v in vecs.items()
+    }
+    dup_of = {}
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if cell[a] != cell[b] or b in dup_of and dup_of[b] <= a:
+                continue
+            if _round6(_dot(unit[a], unit[b])) >= SEMDEDUP_THRESHOLD:
+                if b not in dup_of or a < dup_of[b]:
+                    dup_of[b] = a
+    expected = [
+        (vid, cell[vid], dup_of.get(vid), vid not in dup_of) for vid in ids
+    ]
+    got = [
+        (r["vec_id"], r["cell"], r["dup_of"], r["is_kept"])
+        for r in semantic_dedup(spark, SF).collect()
+    ]
+    assert got == expected
+
+
+def test_bm25_search_matches_pure_python_restatement(spark):
+    """Pure-Python BM25 twin: same tokenizer, micro-quantized idf on the
+    term dictionary, integer contribution sum, integer-score ranking."""
+    import hashlib  # noqa: F401  (parity with sibling twins)
+    import re
+
+    from smartreader_spark.functions.retrieval import (
+        BM25_QUERIES,
+        BM25_TOPK,
+        bm25_search,
+    )
+
+    docs = {
+        r["doc_id"]: re.sub(r"\s+", " ", r["text"].strip().lower()).split(" ")
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    n_docs = len(docs)
+    avgdl = float(sum(len(t) for t in docs.values())) / float(n_docs)
+    tf = {
+        did: {t: toks.count(t) for t in set(toks) if t != ""}
+        for did, toks in docs.items()
+    }
+    df = {}
+    for terms in tf.values():
+        for t in terms:
+            df[t] = df.get(t, 0) + 1
+
+    def round_half_up(x):
+        return int(Decimal(repr(x)).quantize(Decimal("1"), ROUND_HALF_UP))
+
+    expected = []
+    for qid, q in BM25_QUERIES:
+        scored = {}
+        for term in q.split():
+            if term not in df:
+                continue
+            idf_micro = round_half_up(
+                math.log(1.0 + (float(n_docs) - df[term] + 0.5) / (df[term] + 0.5))
+                * 1e6
+            )
+            for did, terms in tf.items():
+                if term not in terms:
+                    continue
+                dl = len(docs[did])
+                w = (terms[term] * 2.2) / (
+                    terms[term] + 1.2 * (0.25 + 0.75 * dl / avgdl)
+                )
+                c = round_half_up(idf_micro * w)
+                s, n = scored.get(did, (0, 0))
+                scored[did] = (s + c, n + 1)
+        ranked = sorted(scored.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        for rank, (did, (s_micro, n_match)) in enumerate(ranked[:BM25_TOPK], 1):
+            expected.append((qid, did, _round6(s_micro / 1e6), n_match, rank))
+
+    got = [
+        (r["query_id"], r["doc_id"], r["score"], r["n_terms_matched"], r["rank"])
+        for r in bm25_search(spark, SF).collect()
+    ]
+    assert got == expected
+    # every query with any matching term returns rows
+    assert {q for q, *_ in got} == {q for q, *_ in expected}
+
+
+def test_dsir_importance_shifts_toward_target(spark):
+    """Target-slice documents must grade more target-like on average
+    than the rest of the corpus (they trained the target model), and
+    the output must cover every document exactly once."""
+    from smartreader_spark.functions.curation import (
+        DSIR_TARGET_SOURCE,
+        dsir_importance,
+    )
+
+    out = dsir_importance(spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(out) == n_docs
+    tgt = [r["avg_logratio"] for r in out if r["source"] == DSIR_TARGET_SOURCE]
+    rest = [r["avg_logratio"] for r in out if r["source"] != DSIR_TARGET_SOURCE]
+    assert tgt and rest
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+    for r in out:
+        # sign consistency (avg is rounded, so only one-sided implications)
+        if r["avg_logratio"] > 0:
+            assert r["selected"]
+        if r["selected"]:
+            assert r["avg_logratio"] >= 0

@@ -98,7 +98,8 @@ def test_no_python_eval_in_analytical_plans(spark):
                  "source_cap_sample", "source_temperature_sample",
                  "curation_pipeline", "sequence_pack",
                  "curation_funnel", "pii_scrub", "decontaminate_ngrams",
-                 "unigram_surprisal", "dataset_split", "training_layout"):
+                 "unigram_surprisal", "dataset_split", "training_layout",
+                 "semantic_dedup", "bm25_search", "dsir_importance"):
         plan = plan_of(qs[name](spark, SF))
         assert "Python" not in plan and "MapInPandas" not in plan, name
 
@@ -110,7 +111,8 @@ def test_embedding_dedup_has_no_cross_product(spark):
     import __spark_entry__ as e
 
     qs = e.queries()
-    for name in ("dedup_embedding_cosine", "ann_lsh_bucketed"):
+    for name in ("dedup_embedding_cosine", "ann_lsh_bucketed",
+                 "semantic_dedup", "bm25_search", "dsir_importance"):
         plan = plan_of(qs[name](spark, SF))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
