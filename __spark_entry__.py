@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sample_video_frames,
     )
     from smartreader_spark.functions.similarity import (
+        ann_pq,
         brute_force_topk,
         ivf_topk,
         lsh_bucketed_topk,
@@ -485,6 +486,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DSIR hashed-ngram importance reweighting toward a target
         # source slice (fixed-width bucket model, micro-nat log-ratios)
         "dsir_importance": dsir_importance,
+        # product-quantization ANN (ADC/MIPS): 4-bit sub-codes, literal
+        # LUTs, map-side encode+score — the memory-compression scale path
+        "ann_pq": ann_pq,
     }
 
 
@@ -728,9 +732,16 @@ def oracle_sql() -> dict[str, str]:
     )
     from smartreader_spark.functions.retrieval import BM25_QUERIES, BM25_TOPK
     from smartreader_spark.functions.similarity import (
+        DEFAULT_K,
+        DEFAULT_QUERIES,
         IVF_CELLS,
+        PQ_KC,
+        PQ_M,
+        PQ_TRAIN_OFFSET,
         SEMDEDUP_THRESHOLD,
     )
+
+    _pq_d0 = 64 // PQ_M  # embedding dim is 64 across the sf tables
 
     # the literal BM25 query-term table, shared shape with the Spark side
     bm25_vals = ", ".join(
@@ -1639,5 +1650,58 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(s_micro > 0, false) AS selected
             FROM documents d LEFT JOIN per USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        # --- product-quantization ANN / ADC (functions/similarity.py
+        # ann_pq): sub-codebooks rebuilt from the view exactly as the
+        # Spark side collects them (training vecs PQ_TRAIN_OFFSET..+KC,
+        # centroid (m,j) = subspace-m slice of training vec j); codes =
+        # argmax of 6-decimal-rounded subvector dots (tie → smallest j);
+        # LUT entries micro-quantized so scores are exact integer sums
+        "ann_pq": f"""
+            WITH emb AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ), ms AS (
+              SELECT unnest(range(0, {PQ_M}))::INT AS m
+            ), sub AS (
+              SELECT ms.m, (t.vec_id - {PQ_TRAIN_OFFSET})::INT AS j,
+                     t.e[ms.m * {_pq_d0} + 1 : ms.m * {_pq_d0} + {_pq_d0}] AS c
+              FROM emb t, ms
+              WHERE t.vec_id >= {PQ_TRAIN_OFFSET}
+                AND t.vec_id < {PQ_TRAIN_OFFSET + PQ_KC}
+            ), vecsub AS (
+              SELECT v.vec_id, ms.m,
+                     v.e[ms.m * {_pq_d0} + 1 : ms.m * {_pq_d0} + {_pq_d0}] AS sv
+              FROM emb v, ms
+            ), codes AS (
+              SELECT vec_id, m, j AS code FROM (
+                SELECT vs.vec_id, vs.m, s.j,
+                       row_number() OVER (
+                         PARTITION BY vs.vec_id, vs.m
+                         ORDER BY round(list_dot_product(vs.sv, s.c), 6) DESC,
+                                  s.j ASC) AS rn
+                FROM vecsub vs JOIN sub s ON vs.m = s.m) WHERE rn = 1
+            ), lut AS (
+              SELECT q.vec_id AS query_id, s.m, s.j,
+                     CAST(round(list_dot_product(
+                         q.e[s.m * {_pq_d0} + 1 : s.m * {_pq_d0} + {_pq_d0}],
+                         s.c) * 1e6) AS BIGINT) AS d_micro
+              FROM emb q, sub s WHERE q.vec_id < {DEFAULT_QUERIES}
+            ), scored AS (
+              SELECT l.query_id, c.vec_id,
+                     CAST(sum(l.d_micro) AS BIGINT) AS s_micro
+              FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.j
+              WHERE c.vec_id <> l.query_id
+              GROUP BY l.query_id, c.vec_id
+            ), ranked AS (
+              SELECT query_id, vec_id, s_micro,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY s_micro DESC, vec_id ASC)
+                         AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id,
+                   round(s_micro / 1e6, 6) AS score, rank
+            FROM ranked WHERE rank <= {DEFAULT_K}
+            ORDER BY query_id, rank
         """,
     }

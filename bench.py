@@ -96,6 +96,14 @@ ANALYTICAL = [
     "dataset_split",
     # composed curation → train-split → per-source sequence packing
     "training_layout",
+    # SemDeDup cluster-bounded semantic dedup (codebook literals)
+    "semantic_dedup",
+    # Okapi BM25 top-k keyword retrieval (micro-quantized idf)
+    "bm25_search",
+    # DSIR hashed-ngram importance reweighting (64-bucket model)
+    "dsir_importance",
+    # product-quantization ANN / ADC (literal LUTs, map-side scoring)
+    "ann_pq",
 ]
 
 

@@ -174,6 +174,146 @@ def ivf_topk(spark: SparkSession, sf_dir: str,
 
 
 SEMDEDUP_THRESHOLD = 0.4  # same cosine bar as dedup_embedding_cosine
+PQ_M = 8          # product-quantization subspaces (64-dim → 8×8)
+PQ_KC = 16        # centroids per sub-codebook (4-bit codes)
+PQ_TRAIN_OFFSET = DEFAULT_QUERIES + IVF_CELLS  # training vecs follow the IVF codebook
+
+
+def ann_pq(spark: SparkSession, sf_dir: str,
+           k: int = DEFAULT_K, n_queries: int = DEFAULT_QUERIES,
+           m_sub: int = PQ_M, n_cent: int = PQ_KC) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jégou, Douze, Schmid 2011, "Product Quantization for Nearest
+    Neighbor Search"; inner-product/MIPS variant): each vector is
+    compressed to m_sub 4-bit codes (argmax inner product against a
+    per-subspace codebook), and queries score candidates by summing
+    per-subspace lookup-table entries over the codes — never touching
+    the raw vectors. THE memory axis of the ANN trade space: at 10^12
+    vectors, 64-dim float32 embeddings are ~256 TB while 8-byte PQ
+    codes are ~8 TB — the difference between "fits on the cluster" and
+    "doesn't".
+
+    Determinism: code assignment takes argmax over 6-decimal-rounded
+    subvector dots (the _cell_scores discipline, tie → smallest
+    centroid); the ADC lookup tables are quantized to integer
+    micro-units driver-side with exact-binary half-up rounding
+    (Decimal over the true double — the same value DuckDB's round()
+    and Spark's BigDecimal round produce), so per-candidate scores are
+    exact integer sums and ranking never compares floats.
+
+    100-TB shape (the real ADC execution model, declaratively): the
+    sub-codebooks AND the per-query LUTs are driver state inlined as
+    literals — encoding and scoring are BOTH pure map-side expression
+    work, zero shuffle, zero join; the only exchange is the top-k
+    window on (query_id). The query set is reranking-sized (collected
+    like the IVF codebook); corpus vectors stream through once.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql.window import Window
+
+    emb = _load(spark, sf_dir).select("vec_id", "embedding")
+    train = [
+        r["embedding"]
+        for r in emb.filter(
+            (F.col("vec_id") >= PQ_TRAIN_OFFSET)
+            & (F.col("vec_id") < PQ_TRAIN_OFFSET + n_cent)
+        )
+        .orderBy("vec_id")
+        .collect()
+    ]
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < n_queries)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    dim = len(train[0])
+    d0 = dim // m_sub
+    # sub-codebook: centroid (m, j) = subspace-m slice of training vec j
+    cb = [
+        [train[j][m * d0:(m + 1) * d0] for j in range(n_cent)]
+        for m in range(m_sub)
+    ]
+
+    def _pydot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def _micro(x: float) -> int:
+        # exact-binary half-away rounding of the true double — matches
+        # Spark's BigDecimal(double) ROUND_HALF_UP and DuckDB's round()
+        return int(Decimal(x).quantize(Decimal(1), ROUND_HALF_UP))
+
+    # per-query ADC lookup tables, micro-quantized: lut[qi][m][j]
+    lut = [
+        [
+            [_micro(_pydot(q[m * d0:(m + 1) * d0], cb[m][j]) * 1e6)
+             for j in range(n_cent)]
+            for m in range(m_sub)
+        ]
+        for _, q in queries
+    ]
+
+    def _code(m: int):
+        sub = F.slice("embedding", m * d0 + 1, d0)
+        best = F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        F.round(
+                            _dot(sub, F.array(*[F.lit(float(x)) for x in cb[m][j]])),
+                            6,
+                        ).alias("s"),
+                        F.lit(-j).alias("nj"),
+                    )
+                    for j in range(n_cent)
+                ]
+            )
+        )
+        return (-best["nj"]).cast("int")
+
+    coded = emb.select(
+        "vec_id", F.array(*[_code(m) for m in range(m_sub)]).alias("codes")
+    )
+    # ADC: score(q, x) = Σ_m lut[q][m][code_m(x)] — pure map-side
+    # element_at lookups against literal int arrays
+    per_query = [
+        F.struct(
+            F.lit(int(qid)).cast("long").alias("query_id"),
+            sum(
+                (
+                    F.element_at(
+                        F.array(*[F.lit(int(v)).cast("long") for v in lut[qi][m]]),
+                        F.col("codes")[m] + 1,
+                    )
+                    for m in range(m_sub)
+                ),
+                F.lit(0).cast("long"),
+            ).alias("s_micro"),
+        )
+        for qi, (qid, _) in enumerate(queries)
+    ]
+    scored = (
+        coded.select("vec_id", F.explode(F.array(*per_query)).alias("q"))
+        .select("vec_id", F.col("q.query_id").alias("query_id"),
+                F.col("q.s_micro").alias("s_micro"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("s_micro"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.col("s_micro") / 1e6, 6).alias("score"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
 
 
 def semantic_dedup(spark: SparkSession, sf_dir: str,

@@ -294,3 +294,65 @@ def test_dsir_importance_shifts_toward_target(spark):
             assert r["selected"]
         if r["selected"]:
             assert r["avg_logratio"] >= 0
+
+
+def test_ann_pq_matches_pure_python_restatement(spark):
+    """Pure-Python PQ/ADC twin: sub-codebooks from the training slice,
+    rounded-dot argmax codes (tie → smallest centroid), micro-quantized
+    LUTs, integer-score ranking — row-identical output required."""
+    from smartreader_spark.functions.similarity import (
+        DEFAULT_K,
+        DEFAULT_QUERIES,
+        PQ_KC,
+        PQ_M,
+        PQ_TRAIN_OFFSET,
+        ann_pq,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e"))
+        .collect()
+    )
+    vecs = {r["vec_id"]: r["e"] for r in rows}
+    dim = len(next(iter(vecs.values())))
+    d0 = dim // PQ_M
+    train = [vecs[PQ_TRAIN_OFFSET + j] for j in range(PQ_KC)]
+    cb = [
+        [train[j][m * d0:(m + 1) * d0] for j in range(PQ_KC)]
+        for m in range(PQ_M)
+    ]
+
+    def micro(x):
+        return int(Decimal(x).quantize(Decimal(1), ROUND_HALF_UP))
+
+    def code(v, m):
+        sv = v[m * d0:(m + 1) * d0]
+        ranked = sorted(
+            ((_round6(_dot(sv, cb[m][j])), j) for j in range(PQ_KC)),
+            key=lambda t: (-t[0], t[1]),
+        )
+        return ranked[0][1]
+
+    codes = {vid: [code(v, m) for m in range(PQ_M)] for vid, v in vecs.items()}
+    expected = []
+    for q in range(DEFAULT_QUERIES):
+        lut = [
+            [micro(_dot(vecs[q][m * d0:(m + 1) * d0], cb[m][j]) * 1e6)
+             for j in range(PQ_KC)]
+            for m in range(PQ_M)
+        ]
+        cand = [
+            (vid, sum(lut[m][codes[vid][m]] for m in range(PQ_M)))
+            for vid in vecs
+            if vid != q
+        ]
+        cand.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (vid, s_micro) in enumerate(cand[:DEFAULT_K], 1):
+            expected.append((q, vid, _round6(s_micro / 1e6), rank))
+
+    got = [
+        (r["query_id"], r["vec_id"], r["score"], r["rank"])
+        for r in ann_pq(spark, SF).collect()
+    ]
+    assert got == expected

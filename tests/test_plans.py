@@ -99,7 +99,8 @@ def test_no_python_eval_in_analytical_plans(spark):
                  "curation_pipeline", "sequence_pack",
                  "curation_funnel", "pii_scrub", "decontaminate_ngrams",
                  "unigram_surprisal", "dataset_split", "training_layout",
-                 "semantic_dedup", "bm25_search", "dsir_importance"):
+                 "semantic_dedup", "bm25_search", "dsir_importance",
+                 "ann_pq"):
         plan = plan_of(qs[name](spark, SF))
         assert "Python" not in plan and "MapInPandas" not in plan, name
 
