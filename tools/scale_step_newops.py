@@ -56,8 +56,15 @@ def build_scaled(spark, replicas: int) -> str:
         scaled.repartition(32).write.mode("overwrite").parquet(docs_path)
     if not os.path.exists(emb_path):
         base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        # block-offset ids (vec_id + rep*n_base), NOT interleaved: the
+        # codebook/query/training slots (vec_id < 40) must stay the
+        # ORIGINAL base vectors, so the experiment measures "corpus grew
+        # K×, codebook fixed" rather than a degenerate collapsed
+        # quantizer (replicas of 2 base vectors as all 16 centroids —
+        # measured separately as the collapse stress, BASELINE.md)
+        n_base = base.count()
         scaled = base.select("vec_id", "embedding", "label", rep).select(
-            (F.col("vec_id") * replicas + F.col("rep")).alias("vec_id"),
+            (F.col("vec_id") + F.col("rep") * n_base).alias("vec_id"),
             "embedding", "label",
         )
         scaled.repartition(32).write.mode("overwrite").parquet(emb_path)
@@ -91,6 +98,21 @@ def run_semdedup(spark, sf_dir: str, n_cells: int, attempts: int) -> dict:
             .collect()[0]
         )
         return {"vecs": agg["vecs"], "removed": agg["removed"], "n_cells": n_cells}
+
+    return _timed(go, attempts)
+
+
+def run_ann_pq(spark, sf_dir: str, attempts: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from smartreader_spark.functions.similarity import ann_pq
+
+    def go():
+        spark.catalog.clearCache()
+        agg = ann_pq(spark, sf_dir).agg(
+            F.count("*").alias("hits"), F.max("score").alias("top_score")
+        ).collect()[0]
+        return {"hits": agg["hits"], "top_score": float(agg["top_score"])}
 
     return _timed(go, attempts)
 
@@ -143,6 +165,7 @@ def main() -> None:
         ("semantic_dedup", lambda d, nc=16: run_semdedup(spark, d, nc, args.attempts)),
         ("bm25_search", lambda d: run_bm25(spark, d, args.attempts)),
         ("dsir_importance", lambda d: run_dsir(spark, d, args.attempts)),
+        ("ann_pq", lambda d: run_ann_pq(spark, d, args.attempts)),
     ):
         x1 = runner(SF_DIR)
         xk = runner(scaled_dir)
