@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         doc_fingerprints,
         language_guess,
         quality_scores,
+        bigram_surprisal,
         token_counts,
         unigram_surprisal,
     )
@@ -452,6 +453,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-token surprisal quantized to integer micro-nats so the
         # per-doc aggregation is an exact order-independent integer sum)
         "unigram_surprisal": unigram_surprisal,
+        # order-2 upgrade of the same gate: add-one-smoothed BIGRAM
+        # cross-entropy (context-sensitive — catches scrambled-
+        # transition spam the unigram model passes); same integer
+        # micro-nat fixed-point discipline, ONE corpus-wide shuffle
+        "bigram_surprisal": bigram_surprisal,
         # corpus-curation ops (oracled): repetition quality, passage
         # dedup, per-source caps — functions/curation.py
         "repetition_scores": repetition_scores,
@@ -1324,6 +1330,56 @@ def oracle_sql() -> dict[str, str]:
                    (COALESCE(p.n_tokens, 0) > 0
                     AND round(p.s_micro / (p.n_tokens * 1e6), 6) <= 3.5)
                        AS passes_lm
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        # order-2 twin: add-one bigram model p(w2|w1) = (c12+1)/(c1+V),
+        # V = distinct successor types + 1; surprisal quantized to
+        # integer micro-nats on the bigram dictionary (one LN per
+        # distinct entry), exact integer sum per doc, one IEEE division
+        "bigram_surprisal": f"""
+            WITH tt AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), bg AS (
+              SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+              FROM (SELECT doc_id, toks,
+                           unnest(range(1, len(toks))) AS i FROM tt)
+              WHERE toks[i] <> '' AND toks[i + 1] <> ''
+            ), bdict AS (
+              SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+            ), ctx AS (
+              SELECT w1, sum(c12) AS c1 FROM bdict GROUP BY w1
+            ), vst AS (
+              SELECT count(DISTINCT w2) + 1 AS v FROM bdict
+            ), surp AS (
+              SELECT d.w1, d.w2,
+                     CAST(round(ln((c.c1 + (SELECT v FROM vst))::DOUBLE
+                                   / (d.c12 + 1)) * 1e6) AS BIGINT)
+                         AS micro_nats
+              FROM bdict d JOIN ctx c USING (w1) WHERE d.c12 >= 2
+            ), oov AS (
+              SELECT w1,
+                     CAST(round(ln((c1 + (SELECT v FROM vst))::DOUBLE) * 1e6)
+                          AS BIGINT) AS oov_micro
+              FROM ctx
+            ), per_doc AS (
+              SELECT b.doc_id,
+                     sum(COALESCE(s.micro_nats, o.oov_micro)) AS s_micro,
+                     count(*) AS n_bigrams
+              FROM bg b
+              LEFT JOIN surp s ON b.w1 = s.w1 AND b.w2 = s.w2
+              JOIN oov o ON b.w1 = o.w1
+              GROUP BY b.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(p.n_bigrams, 0) AS n_bigrams,
+                   CASE WHEN COALESCE(p.n_bigrams, 0) > 0
+                        THEN round(p.s_micro / (p.n_bigrams * 1e6), 6)
+                        ELSE 0.0 END AS mean_surprisal_nats,
+                   (COALESCE(p.n_bigrams, 0) > 0
+                    AND CASE WHEN COALESCE(p.n_bigrams, 0) > 0
+                             THEN round(p.s_micro / (p.n_bigrams * 1e6), 6)
+                             ELSE 0.0 END <= 3.4) AS passes_lm
             FROM documents d LEFT JOIN per_doc p USING (doc_id)
             ORDER BY d.doc_id
         """,

@@ -219,3 +219,117 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str,
         )
         .orderBy("doc_id")
     )
+
+
+def bigram_surprisal(spark: SparkSession, sf_dir: str,
+                     min_count: int = 2,
+                     max_mean_nats: float = 3.4) -> DataFrame:
+    """Corpus-trained BIGRAM cross-entropy filter — the order-2 upgrade
+    of `unigram_surprisal`, one step closer to CCNet's 5-gram KenLM
+    gate (Wenzek et al. 2020): score each document by its mean
+    per-position surprisal -ln p(w2|w1) under an add-one-smoothed
+    bigram model trained on the corpus itself. Context sensitivity is
+    what the unigram model can't see: a document whose tokens are all
+    common but whose *transitions* are scrambled (bag-of-frequent-words
+    spam, shuffled boilerplate) scores high here while sailing through
+    the unigram gate. Reference parity: SmartReader has no LM stage
+    (single-document engine); this serves SURVEY §2's training-data
+    curation tier next to unigram_surprisal/repetition_scores.
+
+    Model: p(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V) with V = |distinct
+    successor types| + 1 (one OOV type), where c(w1·) is w1's count as
+    a bigram context. Bigrams below `min_count` fall back to the OOV
+    surprisal ln(c(w1·) + V) of their context — the event-vocabulary
+    floor that caps the dictionary at production scale (hapax bigram
+    types dominate any real corpus; flooring collapses them into one
+    per-context OOV row so the surprisal table stays join- or even
+    broadcast-sized).
+
+    Cross-engine determinism (the unigram op's fixed-point discipline):
+    per-bigram surprisal is quantized to integer micro-nats — ONE ln
+    per distinct dictionary entry, computed on exact integer-valued
+    doubles — so the per-document aggregation is an exact integer sum
+    and the final mean a single correctly-rounded IEEE division. The
+    DuckDB oracle restates the identical fixed-point pipeline.
+
+    Scale shape: bigram extraction is map-side (zip_with over the token
+    array with its own tail — no positional window, no per-doc
+    shuffle); the dictionary build is ONE corpus-wide (w1,w2) groupBy
+    with map-side partial aggregation, localCheckpointed because the
+    context-marginal table c(w1·), the vocabulary scalar V AND the
+    scoring join all derive from it (three consumers, one shuffle —
+    c(w1·) = Σ_w2 c(w1,w2) falls out of the dictionary itself, never a
+    second corpus pass). Scoring re-derives the bigram stream map-side
+    and joins the dictionary on (w1,w2) and the context table on w1.
+    """
+    docs = _load(spark, sf_dir)
+    toks = F.split(_norm(F.col("text")), " ")
+    base = docs.select("doc_id", toks.alias("toks"))
+    n = F.size("toks")
+    take = F.greatest(n - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice("toks", F.lit(1), take),
+        F.slice("toks", F.lit(2), take),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = (
+        base.select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    # the one corpus-wide shuffle; dictionary-sized, three consumers
+    dict_all = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .localCheckpoint(eager=True)
+    )
+    v_size = int(
+        dict_all.agg(F.countDistinct("w2").alias("v")).first()["v"]
+    ) + 1
+    ctx = dict_all.groupBy("w1").agg(F.sum("c12").alias("c1")).select(
+        "w1",
+        "c1",
+        F.round(F.log((F.col("c1") + F.lit(v_size)).cast("double")) * 1e6)
+        .cast("long")
+        .alias("oov_micro"),
+    )
+    surp = (
+        dict_all.where(F.col("c12") >= min_count)
+        .join(ctx.select("w1", "c1"), "w1")
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log((F.col("c1") + F.lit(v_size)) / (F.col("c12") + 1)) * 1e6
+            )
+            .cast("long")
+            .alias("micro_nats"),
+        )
+    )
+    per_doc = (
+        bg.join(surp, ["w1", "w2"], "left")
+        .join(ctx.select("w1", "oov_micro"), "w1")
+        .select(
+            "doc_id", F.coalesce(F.col("micro_nats"), F.col("oov_micro")).alias("mn")
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("mn").alias("s_micro"), F.count("*").alias("n_bigrams"))
+    )
+    mean_nats = F.when(
+        F.col("n_bigrams") > 0,
+        F.round(F.col("s_micro") / (F.col("n_bigrams") * 1e6), 6),
+    ).otherwise(F.lit(0.0))
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            mean_nats.alias("mean_surprisal_nats"),
+            (
+                (F.coalesce("n_bigrams", F.lit(0)) > 0)
+                & (mean_nats <= F.lit(max_mean_nats))
+            ).alias("passes_lm"),
+        )
+        .orderBy("doc_id")
+    )

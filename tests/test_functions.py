@@ -645,6 +645,49 @@ def test_unigram_surprisal_oov_and_ordering(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_bigram_surprisal_context_sensitivity(spark):
+    """Pins the order-2 LM semantics on a hand-computable corpus: the
+    bigram gate is CONTEXT-sensitive — a doc whose tokens are common but
+    whose transitions are scrambled scores high (every scrambled bigram
+    is hapax and takes its context's OOV surprisal), while the unigram
+    gate cannot tell the two docs apart."""
+    import math
+
+    from smartreader_spark.functions.textqa import bigram_surprisal
+
+    tmp = tempfile.mkdtemp(prefix="bigram_")
+    try:
+        rows = [
+            (0, "the cat sat on the mat", "a"),
+            (1, "the cat sat on the mat", "a"),
+            (2, "the mat sat cat on zz", "b"),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.parquet(f"{tmp}/documents.parquet")
+
+        out = {
+            r["doc_id"]: r
+            for r in bigram_surprisal(spark, tmp, max_mean_nats=1.5).collect()
+        }
+        # dict counts: (the,cat)=2 (cat,sat)=2 (sat,on)=2 (on,the)=2
+        # (the,mat)=3, five hapax from doc2; ctx: the=5 cat=sat=on=3
+        # mat=1; V = 6 successor types + 1 = 7
+        q = lambda x: round(math.log(x) * 1e6)
+        mean_fluent = round((q(4) + 3 * q(10 / 3) + q(3)) / 5e6, 6)
+        mean_scrambled = round((q(3) + q(8) + 3 * q(10)) / 5e6, 6)
+        assert out[0]["mean_surprisal_nats"] == mean_fluent
+        assert out[1]["mean_surprisal_nats"] == mean_fluent
+        assert out[2]["mean_surprisal_nats"] == mean_scrambled
+        assert out[2]["n_bigrams"] == 5
+        assert mean_scrambled > mean_fluent
+        assert (out[0]["passes_lm"], out[1]["passes_lm"], out[2]["passes_lm"]) == (
+            True, True, False,
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_dataset_split_stable_under_growth(spark):
     """The property hash splits exist for: a document's assignment
     depends only on its id, so re-running over a grown (here: shrunk)

@@ -98,7 +98,8 @@ def test_no_python_eval_in_analytical_plans(spark):
                  "source_cap_sample", "source_temperature_sample",
                  "curation_pipeline", "sequence_pack",
                  "curation_funnel", "pii_scrub", "decontaminate_ngrams",
-                 "unigram_surprisal", "dataset_split", "training_layout",
+                 "unigram_surprisal", "bigram_surprisal",
+                 "dataset_split", "training_layout",
                  "semantic_dedup", "bm25_search", "dsir_importance",
                  "ann_pq"):
         plan = plan_of(qs[name](spark, SF))
