@@ -87,7 +87,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         semantic_dedup,
     )
     from smartreader_spark.functions.retrieval import bm25_search
-    from smartreader_spark.functions.components import dedup_components
+    from smartreader_spark.functions.components import (
+        dedup_components,
+        dedup_family_keep_best,
+    )
     from smartreader_spark.functions.curation import (
         curation_funnel,
         curation_pipeline,
@@ -439,6 +442,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # canonical survivor per family (chains and all), iterative
         # min-label propagation with pointer jumping
         "dedup_components": dedup_components,
+        # quality-first survivor selection over the same families:
+        # keeper = max n_chars (tie min doc_id) via a struct-min agg —
+        # no corpus-wide window, no text in the shuffle
+        "dedup_family_keep_best": dedup_family_keep_best,
         "ann_brute_force": brute_force_topk,
         "ann_lsh_bucketed": lsh_bucketed_topk,
         # inverted-file ANN: driver-resident codebook inlined as literals
@@ -999,6 +1006,43 @@ def oracle_sql() -> dict[str, str]:
                    (src = min(dst)) AS is_canonical
             FROM reach GROUP BY src
             ORDER BY doc_id
+        """,
+        # the same transitive closure, quality-first keeper per family:
+        # row_number over (n_chars DESC, doc_id ASC) restates the Spark
+        # side's (-n_chars, doc_id) struct-min argmax
+        "dedup_family_keep_best": f"""
+            WITH RECURSIVE {_SIMHASH_PAIRS_CTES},
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL
+              SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(src, dst) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ),
+            comp AS (
+              SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
+            ),
+            sized AS (
+              SELECT c.doc_id, c.component, d.n_chars
+              FROM comp c JOIN documents d USING (doc_id)
+            ),
+            ranked AS (
+              SELECT doc_id, component, n_chars,
+                     row_number() OVER (PARTITION BY component
+                                        ORDER BY n_chars DESC, doc_id ASC) AS rn,
+                     count(*) OVER (PARTITION BY component) AS family_size
+              FROM sized
+            ),
+            keep AS (
+              SELECT component, doc_id AS keeper_doc_id FROM ranked WHERE rn = 1
+            )
+            SELECT r.doc_id, r.component, r.n_chars, k.keeper_doc_id,
+                   r.family_size, (r.doc_id = k.keeper_doc_id) AS is_kept
+            FROM ranked r JOIN keep k USING (component)
+            ORDER BY r.doc_id
         """,
         "bpe_token_counts": f"""
             SELECT doc_id,

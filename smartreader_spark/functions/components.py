@@ -148,3 +148,52 @@ def dedup_components(spark: SparkSession, sf_dir: str,
         )
         .orderBy("doc_id")
     )
+
+
+def dedup_family_keep_best(spark: SparkSession, sf_dir: str,
+                           max_hamming: int = 3) -> DataFrame:
+    """Near-dup family dedup with QUALITY-FIRST survivor selection:
+    the same simhash pair graph and connected components as
+    `dedup_components`, but the kept representative per family is the
+    highest-quality member — max `n_chars`, ties to the smallest
+    doc_id — instead of the min-id. This is what production curation
+    actually wants: when a near-dup family mixes a full article with
+    its truncated or boilerplate-laden variants, min-id keeps whichever
+    happened to be crawled first; quality-keep retains the longest
+    copy. (The same family-size/keeper columns double as the family
+    audit table.)
+
+    Scale shape: on top of the O(log n)-round component labels, one
+    groupBy-min per family over a fixed-width struct key (the
+    (-n_chars, doc_id) argmax encoding — no window over the full corpus,
+    no text in the shuffle) and one component-keyed equi-join to tag
+    members. Reference parity: SmartReader is single-document; this
+    serves SURVEY §2's training-data pipeline tier with
+    dedup_components."""
+    docs = _load_documents(spark, sf_dir).select("doc_id", "text", "n_chars")
+    pairs = simhash_pairs_for_docs(
+        docs.select("doc_id", "text"), max_hamming=max_hamming
+    ).select("doc_a", "doc_b")
+    labels = connected_components(docs.select("doc_id"), pairs)
+    sized = labels.join(docs.select("doc_id", "n_chars"), "doc_id")
+    best = sized.groupBy("component").agg(
+        F.min(
+            F.struct(
+                (-F.col("n_chars")).alias("neg_chars"),
+                F.col("doc_id").alias("d"),
+            )
+        ).alias("b"),
+        F.count("*").alias("family_size"),
+    )
+    return (
+        sized.join(best, "component")
+        .select(
+            "doc_id",
+            "component",
+            "n_chars",
+            F.col("b.d").alias("keeper_doc_id"),
+            "family_size",
+            (F.col("doc_id") == F.col("b.d")).alias("is_kept"),
+        )
+        .orderBy("doc_id")
+    )

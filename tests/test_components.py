@@ -96,6 +96,63 @@ def test_dedup_components_labels_every_document(spark):
         assert by_id[r["component"]] == r["component"]
 
 
+def test_dedup_family_keep_best_prefers_quality_over_min_id(spark):
+    """Pins the quality-first survivor rule: in a family whose longest
+    member is NOT the min-id, the keeper is the max-n_chars doc with
+    ties broken to the smaller id — while the component label itself
+    stays the min id. Singletons keep themselves."""
+    import shutil
+    import tempfile
+
+    from smartreader_spark.functions.components import dedup_family_keep_best
+
+    tmp = tempfile.mkdtemp(prefix="keepbest_")
+    try:
+        same = "alpha beta gamma delta epsilon zeta"
+        rows = [
+            (0, same, 50, "a"),
+            (1, same, 80, "a"),   # longest (tied with 2) -> keeper
+            (2, same, 80, "a"),
+            (3, "totally different words entirely elsewhere", 10, "b"),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, n_chars long, source string"
+        ).write.parquet(f"{tmp}/documents.parquet")
+        out = {r["doc_id"]: r for r in dedup_family_keep_best(spark, tmp).collect()}
+        assert {d: r["component"] for d, r in out.items()} == {0: 0, 1: 0, 2: 0, 3: 3}
+        assert {d: r["keeper_doc_id"] for d, r in out.items()} == {0: 1, 1: 1, 2: 1, 3: 3}
+        assert {d: r["is_kept"] for d, r in out.items()} == {
+            0: False, 1: True, 2: False, 3: True,
+        }
+        assert out[0]["family_size"] == 3 and out[3]["family_size"] == 1
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_dedup_family_keep_best_partitions_match_components(spark):
+    """On the real sf0.001 corpus: exactly one keeper per family, the
+    keeper maximizes (n_chars, -doc_id) within its family, and the
+    family partition is identical to dedup_components'."""
+    from smartreader_spark.functions.components import (
+        dedup_components,
+        dedup_family_keep_best,
+    )
+
+    kb = dedup_family_keep_best(spark, SF).collect()
+    comp = {r["doc_id"]: r["component"] for r in dedup_components(spark, SF).collect()}
+    assert {r["doc_id"]: r["component"] for r in kb} == comp
+    by_comp = {}
+    for r in kb:
+        by_comp.setdefault(r["component"], []).append(r)
+    for fam in by_comp.values():
+        keepers = [r for r in fam if r["is_kept"]]
+        assert len(keepers) == 1
+        best = min(fam, key=lambda r: (-r["n_chars"], r["doc_id"]))
+        assert keepers[0]["doc_id"] == best["doc_id"]
+        assert all(r["keeper_doc_id"] == best["doc_id"] for r in fam)
+        assert all(r["family_size"] == len(fam) for r in fam)
+
+
 def _round6(x: float) -> float:
     # Spark's F.round / DuckDB round: HALF_UP at the 6th decimal
     return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
