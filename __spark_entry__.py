@@ -105,6 +105,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         training_layout,
     )
     from smartreader_spark.functions.privacy import pii_scrub
+    from smartreader_spark.functions.bpe import bpe_segment_counts, learn_bpe_merges
+    from smartreader_spark.functions.events import (
+        event_sessions,
+        events_asof_error,
+    )
+    from smartreader_spark.streaming.window_stream import (
+        stream_event_windows_bounded,
+    )
     from smartreader_spark.functions.textqa import (
         bpe_token_counts,
         doc_fingerprints,
@@ -502,6 +510,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # product-quantization ANN (ADC/MIPS): 4-bit sub-codes, literal
         # LUTs, map-side encode+score — the memory-compression scale path
         "ann_pq": ann_pq,
+        # distributed BPE tokenizer TRAINING (Sennrich 2016): top-k
+        # byte-pair merges learned on the word-frequency dictionary —
+        # one corpus shuffle, then k vocabulary-bounded rounds
+        "bpe_train": learn_bpe_merges,
+        # the trained tokenizer applied back to the corpus: per-doc
+        # subword counts + fertility via a vocab segmentation join
+        "bpe_fertility": bpe_segment_counts,
+        # gap-based sessionization of the events stream (12 h inactivity
+        # boundary; integer-micros / integer-cents aggregates)
+        "event_sessions": event_sessions,
+        # joinless as-of: every event annotated with its most recent
+        # strictly-earlier error (max-struct over a strict RANGE frame);
+        # the oracle restates it with DuckDB's native ASOF JOIN
+        "events_asof_error": events_asof_error,
+        # watermarked tumbling-window streaming aggregation under the
+        # value oracle (bounded replay, flush sentinel, append mode)
+        "stream_window_counts": stream_event_windows_bounded,
     }
 
 
@@ -521,12 +546,81 @@ def _simhash_max_bucket() -> int:
 
 _SIMHASH_MAX_BUCKET = _simhash_max_bucket()
 
+
+def _event_consts() -> tuple[int, int]:
+    from smartreader_spark.functions.events import SESSION_GAP_MICROS
+    from smartreader_spark.streaming.window_stream import WINDOW_MICROS
+
+    return SESSION_GAP_MICROS, WINDOW_MICROS
+
+
+_SESSION_GAP_MICROS, _WINDOW_MICROS = _event_consts()
+
 # the GPT-2-style pre-tokenizer pattern, SQL-quoted (RE2-compatible —
 # verified identical tokenization between Java regex, RE2 and Python re)
 def _bpe_pat_sql() -> str:
     from smartreader_spark.functions.textqa import BPE_PRETOKEN_PATTERN
 
     return BPE_PRETOKEN_PATTERN.replace("'", "''")
+
+
+def _bpe_train_ctes() -> tuple[str, int]:
+    """Unrolled CTE chain restating the BPE merge-learning loop
+    (functions/bpe.py): w0 = char-split word-frequency dict; each round
+    k computes pair counts (p{k}), the argmax merge (b{k}, ties on
+    lhs/rhs ASC, gated on MIN_PAIR_COUNT), and the re-segmented vocab
+    (w{k+1}). Merge application is a chr(31)-delimited string replace —
+    every symbol is wrapped in the delimiter, so the pattern
+    \\x1f<lhs>\\x1f\\x1f<rhs>\\x1f can only match whole adjacent symbols,
+    and SQL replace's left-to-right non-overlapping scan is exactly the
+    Spark fold's greedy semantics (the fused token is never rescanned).
+    The LEFT JOIN ON TRUE keeps w{k+1} = w{k} when the round fired no
+    merge, mirroring the Spark loop's early break."""
+    from smartreader_spark.functions.bpe import (
+        MIN_PAIR_COUNT,
+        NUM_MERGES,
+        WORD_END,
+    )
+
+    d = "chr(31)"
+    parts = [
+        f"""w0 AS MATERIALIZED (
+              SELECT word, cnt,
+                     list_append(string_split(word, ''), '{WORD_END}') AS seg
+              FROM (
+                SELECT word, count(*) AS cnt FROM (
+                  SELECT unnest({_TOKS}) AS word FROM documents
+                ) WHERE word <> '' AND NOT contains(word, {d})
+                GROUP BY word
+              )
+            )"""
+    ]
+    for k in range(NUM_MERGES):
+        parts.append(
+            f"""p{k} AS MATERIALIZED (
+              SELECT seg[i] AS lhs, seg[i + 1] AS rhs,
+                     CAST(sum(cnt) AS BIGINT) AS pair_count
+              FROM (SELECT cnt, seg, unnest(range(1, len(seg))) AS i
+                    FROM w{k})
+              GROUP BY lhs, rhs
+            ), b{k} AS MATERIALIZED (
+              SELECT lhs, rhs, pair_count FROM p{k}
+              WHERE pair_count >= {MIN_PAIR_COUNT}
+              ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+            ), w{k + 1} AS MATERIALIZED (
+              SELECT w.word, w.cnt,
+                     CASE WHEN b.lhs IS NULL THEN w.seg
+                          ELSE string_split(
+                                 trim(replace(
+                                   {d} || array_to_string(w.seg, {d} || {d}) || {d},
+                                   {d} || b.lhs || {d} || {d} || b.rhs || {d},
+                                   {d} || b.lhs || b.rhs || {d}), {d}),
+                                 {d} || {d})
+                     END AS seg
+              FROM w{k} w LEFT JOIN b{k} b ON TRUE
+            )"""
+        )
+    return ", ".join(parts), NUM_MERGES
 
 
 _BPE_PAT_SQL = _bpe_pat_sql()
@@ -1803,5 +1897,120 @@ def oracle_sql() -> dict[str, str]:
                    round(s_micro / 1e6, 6) AS score, rank
             FROM ranked WHERE rank <= {DEFAULT_K}
             ORDER BY query_id, rank
+        """,
+        # --- distributed BPE tokenizer training (functions/bpe.py):
+        # the merge-learning loop unrolled as a CTE chain; each round's
+        # argmax row IS the output row for that rank
+        "bpe_train": f"""
+            WITH {_bpe_train_ctes()[0]}
+            SELECT * FROM (
+              {" UNION ALL ".join(
+                  f"SELECT CAST({k} AS BIGINT) AS merge_rank, lhs, rhs,"
+                  f" pair_count FROM b{k}"
+                  for k in range(_bpe_train_ctes()[1])
+              )}
+            ) ORDER BY merge_rank
+        """,
+        # --- the trained tokenizer applied back to the corpus: the
+        # final vocabulary segmentation (w{{N}}) joined to the exploded
+        # corpus tokens; fertility = subwords per word, one IEEE
+        # division rounded to 6 decimals in both engines
+        "bpe_fertility": f"""
+            WITH {_bpe_train_ctes()[0]},
+            sizes AS (
+              SELECT word, len(seg) AS n_subwords_w
+              FROM w{_bpe_train_ctes()[1]}
+            ), tok AS (
+              SELECT doc_id, unnest({_TOKS}) AS word FROM documents
+            ), tokf AS (
+              SELECT doc_id, word FROM tok
+              WHERE word <> '' AND NOT contains(word, chr(31))
+            ), per_doc AS (
+              SELECT t.doc_id, count(*) AS n_words,
+                     CAST(sum(s.n_subwords_w) AS BIGINT) AS n_subwords
+              FROM tokf t JOIN sizes s USING (word)
+              GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(p.n_words, 0) AS n_words,
+                   COALESCE(p.n_subwords, 0) AS n_subwords,
+                   CASE WHEN COALESCE(p.n_words, 0) > 0
+                        THEN round(p.n_subwords::DOUBLE / p.n_words, 6)
+                        ELSE 0.0 END AS fertility
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        # --- gap sessionization (functions/events.py): identical window
+        # restatement — lag-gap mark, running sum, per-session integer
+        # aggregates (epoch micros / cents; no IEEE accumulation)
+        "event_sessions": f"""
+            WITH e AS (
+              SELECT event_id, user_id, event_type, epoch_us(ts) AS micros,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events
+            ), marked AS (
+              SELECT *,
+                     CASE WHEN lag(micros) OVER w IS NULL
+                            OR micros - lag(micros) OVER w
+                               > {_SESSION_GAP_MICROS}
+                          THEN 1 ELSE 0 END AS is_new
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY micros, event_id)
+            ), sess AS (
+              SELECT *,
+                     CAST(sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY micros, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+              FROM marked
+            )
+            SELECT user_id, session_seq,
+                   count(*) AS n_events,
+                   min(micros) AS start_micros,
+                   max(micros) AS end_micros,
+                   max(micros) - min(micros) AS duration_micros,
+                   CAST(sum(cents) AS BIGINT) AS value_cents,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_errors
+            FROM sess GROUP BY user_id, session_seq
+            ORDER BY user_id, session_seq
+        """,
+        # --- as-of error join (functions/events.py): DuckDB's NATIVE
+        # ASOF JOIN as a genuinely independent restatement of the Spark
+        # max-struct-over-strict-range-frame plan. The error side is
+        # pre-deduped to max(event_id) per (user, micros) so the tie at
+        # an identical microsecond matches the struct-max's break
+        "events_asof_error": """
+            WITH e AS (
+              SELECT event_id, user_id, event_type, epoch_us(ts) AS micros
+              FROM events
+            ), err AS (
+              SELECT user_id, micros, max(event_id) AS err_id
+              FROM e WHERE event_type = 'error'
+              GROUP BY user_id, micros
+            )
+            SELECT e.event_id, e.user_id, e.event_type,
+                   r.err_id AS last_error_id,
+                   e.micros - r.micros AS micros_since_error
+            FROM e ASOF LEFT JOIN err r
+              ON e.user_id = r.user_id AND e.micros > r.micros
+            ORDER BY e.event_id
+        """,
+        # --- watermarked tumbling-window streaming aggregation
+        # (streaming/window_stream.py): tumbling windows are epoch-
+        # aligned, so the batch restatement is floor-division on
+        # epoch_us — every real window must have been emitted exactly
+        # once by the bounded replay for the hashes to match
+        "stream_window_counts": f"""
+            SELECT (epoch_us(ts) // {_WINDOW_MICROS}) * {_WINDOW_MICROS}
+                       AS window_start_micros,
+                   (epoch_us(ts) // {_WINDOW_MICROS}) * {_WINDOW_MICROS}
+                       + {_WINDOW_MICROS} AS window_end_micros,
+                   event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS value_cents
+            FROM events
+            GROUP BY 1, 2, 3
+            ORDER BY window_start_micros, event_type
         """,
     }

@@ -72,6 +72,16 @@ ANALYTICAL = [
     "dedup_simhash",
     "dedup_simhash_pairs",
     "bpe_token_counts",
+    # distributed BPE tokenizer training (driver loop of k vocabulary-
+    # bounded jobs) + the trained segmentation applied back to the
+    # corpus; fertility reuses the memoized training from the same
+    # session (bpe._TRAIN_CACHE — the pipeline_funnel precedent)
+    "bpe_train",
+    "bpe_fertility",
+    # event-stream relational ops: gap sessionization + joinless as-of
+    # (one user_id shuffle each)
+    "event_sessions",
+    "events_asof_error",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     # connected components over the simhash near-dup graph (iterative

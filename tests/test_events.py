@@ -1,0 +1,159 @@
+"""Event operators: gap sessionization, as-of error join, watermarked
+streaming windows. Handcrafted corpora pin the boundary semantics the
+sf-scale oracle can't isolate (exact-gap ties, same-microsecond error
+ties, strict as-of inequality); the streaming gate is checked for
+batch/stream parity at sf0.001.
+"""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("smartreader-event-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    yield s
+    s.stop()
+
+
+def _write_events(spark, tmp, rows):
+    """rows: (event_id, iso_ts, user_id, event_type, value)"""
+    (
+        spark.createDataFrame(
+            [(i, t, u, k, v, "{}") for i, t, u, k, v in rows],
+            "event_id long, ts_s string, user_id long, event_type string,"
+            " value double, props string",
+        )
+        .select(
+            "event_id",
+            F.col("ts_s").cast("timestamp_ntz").alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        .coalesce(1)
+        .write.parquet(f"{tmp}/events.parquet")
+    )
+
+
+def test_sessions_exact_gap_stays_in_session(spark):
+    from smartreader_spark.functions.events import event_sessions
+
+    tmp = tempfile.mkdtemp(prefix="sess_")
+    try:
+        rows = [
+            # user 1: 3 events; the second is EXACTLY 12 h after the
+            # first (strict > means same session), the third 12 h +1 µs
+            # after the second (new session)
+            (0, "2024-01-01 00:00:00", 1, "view", 1.0),
+            (1, "2024-01-01 12:00:00", 1, "click", 2.0),
+            (2, "2024-01-02 00:00:00.000001", 1, "error", 3.0),
+            # user 2: single event
+            (3, "2024-01-05 08:00:00", 2, "view", 0.5),
+        ]
+        _write_events(spark, tmp, rows)
+        got = {
+            (r["user_id"], r["session_seq"]): (
+                r["n_events"], r["duration_micros"], r["value_cents"],
+                r["n_errors"],
+            )
+            for r in event_sessions(spark, tmp).collect()
+        }
+        assert got == {
+            (1, 1): (2, 12 * 3600 * 1_000_000, 300, 0),
+            (1, 2): (1, 0, 300, 1),
+            (2, 1): (1, 0, 50, 0),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_asof_strict_and_same_microsecond_tie(spark):
+    from smartreader_spark.functions.events import events_asof_error
+
+    tmp = tempfile.mkdtemp(prefix="asof_")
+    try:
+        rows = [
+            # two errors at the SAME microsecond: later events must
+            # attach to the larger event_id deterministically
+            (0, "2024-01-01 00:00:00", 1, "error", 0.0),
+            (1, "2024-01-01 00:00:00", 1, "error", 0.0),
+            # a view at the exact error microsecond: STRICTLY-earlier
+            # semantics -> no match
+            (2, "2024-01-01 00:00:00", 1, "view", 1.0),
+            (3, "2024-01-01 00:00:01", 1, "view", 1.0),
+            # a later error, then an event after it
+            (4, "2024-01-01 00:01:00", 1, "error", 0.0),
+            (5, "2024-01-01 00:02:00", 1, "view", 1.0),
+            # other user: never any error
+            (6, "2024-01-01 00:00:30", 2, "view", 1.0),
+        ]
+        _write_events(spark, tmp, rows)
+        got = {
+            r["event_id"]: (r["last_error_id"], r["micros_since_error"])
+            for r in events_asof_error(spark, tmp).collect()
+        }
+        assert got == {
+            0: (None, None),
+            1: (None, None),
+            2: (None, None),
+            3: (1, 1_000_000),
+            4: (1, 60_000_000),
+            5: (4, 60_000_000),
+            6: (None, None),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_windows_match_batch_restatement(spark):
+    """Batch/stream parity: the bounded watermarked replay must emit
+    exactly the tumbling windows the batch plan computes — every window
+    exactly once, none dropped by watermark, sentinel excluded."""
+    from smartreader_spark.functions.events import _events
+    from smartreader_spark.streaming.window_stream import (
+        WINDOW_MICROS,
+        stream_event_windows_bounded,
+    )
+
+    got = [
+        tuple(r)
+        for r in stream_event_windows_bounded(spark, SF).collect()
+    ]
+    ev = _events(spark, SF)
+    bucket = (F.col("micros") - F.col("micros") % WINDOW_MICROS)
+    want = [
+        tuple(r)
+        for r in (
+            ev.groupBy(
+                bucket.alias("window_start_micros"),
+                (bucket + WINDOW_MICROS).alias("window_end_micros"),
+                "event_type",
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                    "value_cents"
+                ),
+            )
+            .orderBy("window_start_micros", "event_type")
+            .collect()
+        )
+    ]
+    assert len(got) > 0
+    assert got == want

@@ -101,9 +101,33 @@ def test_no_python_eval_in_analytical_plans(spark):
                  "unigram_surprisal", "bigram_surprisal",
                  "dataset_split", "training_layout",
                  "semantic_dedup", "bm25_search", "dsir_importance",
-                 "ann_pq"):
+                 "ann_pq", "bpe_train", "bpe_fertility",
+                 "event_sessions", "events_asof_error"):
         plan = plan_of(qs[name](spark, SF))
         assert "Python" not in plan and "MapInPandas" not in plan, name
+
+
+def test_events_asof_is_joinless(spark):
+    """The as-of operator's whole point at scale: the error side is
+    folded into the ordered window pass — the physical plan must contain
+    NO join operator of any kind, and exactly one hash exchange on the
+    entity key feeds the window."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["events_asof_error"](spark, SF))
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_bpe_fertility_broadcasts_vocab_segmentation(spark):
+    """The apply-side join (corpus tokens x final vocab segmentation)
+    must be a broadcast hash join — the vocabulary is orders of
+    magnitude smaller than the corpus — and never a cartesian."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.queries()["bpe_fertility"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
 
 
 def test_embedding_dedup_has_no_cross_product(spark):
