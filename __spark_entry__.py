@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_asof_error,
     )
     from smartreader_spark.streaming.window_stream import (
+        stream_event_sessions_bounded,
         stream_event_windows_bounded,
     )
     from smartreader_spark.functions.textqa import (
@@ -527,6 +528,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # watermarked tumbling-window streaming aggregation under the
         # value oracle (bounded replay, flush sentinel, append mode)
         "stream_window_counts": stream_event_windows_bounded,
+        # session-window streaming aggregation (dynamic merging windows;
+        # probed boundary semantics: touching windows merge, so the gap
+        # rule is the SAME strict-> as the batch event_sessions twin)
+        "stream_session_windows": stream_event_sessions_bounded,
     }
 
 
@@ -2012,5 +2017,42 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2, 3
             ORDER BY window_start_micros, event_type
+        """,
+        # --- session-window streaming aggregation (streaming/
+        # window_stream.py): Spark session_window merges TOUCHING
+        # windows (probed: an event exactly GAP after its predecessor
+        # stays in-session), i.e. split iff lag-gap > GAP — the same
+        # strict-> rule as the batch sessionizer; session end = last
+        # event + GAP
+        "stream_session_windows": f"""
+            WITH e AS (
+              SELECT user_id, event_type, epoch_us(ts) AS micros,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events
+            ), marked AS (
+              SELECT *,
+                     CASE WHEN lag(micros) OVER w IS NULL
+                            OR micros - lag(micros) OVER w
+                               > {_SESSION_GAP_MICROS}
+                          THEN 1 ELSE 0 END AS is_new
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY micros)
+            ), sess AS (
+              SELECT *,
+                     sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY micros
+                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked
+            )
+            SELECT user_id,
+                   min(micros) AS session_start_micros,
+                   max(micros) + {_SESSION_GAP_MICROS}
+                       AS session_end_micros,
+                   count(*) AS n_events,
+                   CAST(sum(cents) AS BIGINT) AS value_cents,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_errors
+            FROM sess GROUP BY user_id, sid
+            ORDER BY user_id, session_start_micros
         """,
     }

@@ -121,6 +121,49 @@ def test_asof_strict_and_same_microsecond_tie(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_stream_session_windows_agree_with_batch_sessionizer(spark):
+    """The streaming session_window gap rule was PROBED to be the same
+    strict-> as the batch operator: on the exact-boundary corpus the
+    streaming sessions must be the batch sessions, with end reported as
+    last event + gap."""
+    from smartreader_spark.functions.events import (
+        SESSION_GAP_MICROS,
+        event_sessions,
+    )
+    from smartreader_spark.streaming.window_stream import (
+        stream_event_sessions_bounded,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="sessstream_")
+    try:
+        rows = [
+            (0, "2024-01-01 00:00:00", 1, "view", 1.0),
+            # EXACTLY 12 h later: stays in-session in BOTH engines
+            (1, "2024-01-01 12:00:00", 1, "click", 2.0),
+            (2, "2024-01-02 00:00:00.000001", 1, "error", 3.0),
+            (3, "2024-01-05 08:00:00", 2, "view", 0.5),
+        ]
+        _write_events(spark, tmp, rows)
+        got = {
+            (r["user_id"], r["session_start_micros"]): (
+                r["session_end_micros"], r["n_events"], r["value_cents"],
+                r["n_errors"],
+            )
+            for r in stream_event_sessions_bounded(spark, tmp).collect()
+        }
+        want = {
+            (r["user_id"], r["start_micros"]): (
+                r["end_micros"] + SESSION_GAP_MICROS, r["n_events"],
+                r["value_cents"], r["n_errors"],
+            )
+            for r in event_sessions(spark, tmp).collect()
+        }
+        assert got == want
+        assert len(got) == 3
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_stream_windows_match_batch_restatement(spark):
     """Batch/stream parity: the bounded watermarked replay must emit
     exactly the tumbling windows the batch plan computes — every window
