@@ -110,6 +110,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         event_sessions,
         events_asof_error,
     )
+    from smartreader_spark.functions.stats import source_length_stats
+    from smartreader_spark.streaming.join_stream import (
+        stream_interval_join_bounded,
+    )
     from smartreader_spark.streaming.window_stream import (
         stream_event_sessions_bounded,
         stream_event_windows_bounded,
@@ -532,6 +536,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # probed boundary semantics: touching windows merge, so the gap
         # rule is the SAME strict-> as the batch event_sessions twin)
         "stream_session_windows": stream_event_sessions_bounded,
+        # stream-stream interval join (clicks x same-user errors from
+        # the preceding hour; both sides watermarked, state evicted by
+        # the range condition; inner join emits eagerly -> exact set)
+        "stream_interval_join": stream_interval_join_bounded,
+        # exact per-source length percentiles (continuous-quantile
+        # interpolation cross-checked against DuckDB quantile_cont;
+        # approx_percentile is the documented 100 TB swap-in)
+        "source_length_stats": source_length_stats,
     }
 
 
@@ -2054,5 +2066,38 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_errors
             FROM sess GROUP BY user_id, sid
             ORDER BY user_id, session_start_micros
+        """,
+        # --- stream-stream interval join (streaming/join_stream.py):
+        # the batch restatement of the inner equi+interval join; both
+        # bounds inclusive, lag in integer micros
+        "stream_interval_join": """
+            SELECT c.user_id,
+                   c.event_id AS click_id,
+                   e.event_id AS error_id,
+                   epoch_us(c.ts) - epoch_us(e.ts) AS lag_micros
+            FROM events c JOIN events e
+              ON c.user_id = e.user_id
+             AND c.event_type = 'click' AND e.event_type = 'error'
+             AND e.ts >= c.ts - INTERVAL 1 HOUR AND e.ts <= c.ts
+            ORDER BY click_id, error_id
+        """,
+        # --- exact per-source length percentiles (functions/stats.py):
+        # DuckDB's quantile_cont implements the same continuous-quantile
+        # interpolation as Spark's percentile — a genuine cross-engine
+        # check of the arithmetic on integer inputs
+        "source_length_stats": """
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars,
+                   round(quantile_cont(n_chars, 0.25), 6) AS p25_chars,
+                   round(quantile_cont(n_chars, 0.50), 6) AS p50_chars,
+                   round(quantile_cont(n_chars, 0.75), 6) AS p75_chars,
+                   round(quantile_cont(n_chars, 0.95), 6) AS p95_chars,
+                   round(sum(n_chars)::DOUBLE / count(*), 6) AS mean_chars
+            FROM documents
+            GROUP BY source
+            ORDER BY source
         """,
     }

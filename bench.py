@@ -82,6 +82,8 @@ ANALYTICAL = [
     # (one user_id shuffle each)
     "event_sessions",
     "events_asof_error",
+    # exact per-source length percentiles (curation dashboard numbers)
+    "source_length_stats",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     # connected components over the simhash near-dup graph (iterative

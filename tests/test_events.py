@@ -164,6 +164,60 @@ def test_stream_session_windows_agree_with_batch_sessionizer(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_stream_interval_join_inclusive_bounds(spark):
+    """Pins the interval join's boundary semantics: errors exactly 1 h
+    before and exactly AT the click are both matched (inclusive bounds);
+    1 h + 1 µs before and any time after are not."""
+    from smartreader_spark.streaming.join_stream import (
+        stream_interval_join_bounded,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="ivjoin_")
+    try:
+        rows = [
+            (0, "2024-01-01 11:59:59.999999", 1, "error", 0.0),  # 1h+1µs: out
+            (1, "2024-01-01 12:00:00", 1, "error", 0.0),         # exactly 1h: in
+            (2, "2024-01-01 12:30:00", 1, "error", 0.0),         # in
+            (3, "2024-01-01 13:00:00", 1, "error", 0.0),         # at click: in
+            (4, "2024-01-01 13:00:00", 1, "click", 1.0),
+            (5, "2024-01-01 13:00:00.000001", 1, "error", 0.0),  # after: out
+            (6, "2024-01-01 12:30:00", 2, "error", 0.0),         # other user
+        ]
+        _write_events(spark, tmp, rows)
+        got = {
+            (r["click_id"], r["error_id"]): r["lag_micros"]
+            for r in stream_interval_join_bounded(spark, tmp).collect()
+        }
+        assert got == {
+            (4, 1): 3600 * 1_000_000,
+            (4, 2): 1800 * 1_000_000,
+            (4, 3): 0,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_source_length_stats_interpolation(spark):
+    """Pins the continuous-quantile interpolation on a handcrafted
+    4-value group: p25 of [10, 20, 30, 100] is 17.5, p50 is 25, p75 is
+    47.5, p95 is 89.5 ((1-g)*x[f] + g*x[f+1] at rank p*(n-1))."""
+    from smartreader_spark.functions.stats import source_length_stats
+
+    tmp = tempfile.mkdtemp(prefix="stats_")
+    try:
+        rows = [(i, "x", "a", n) for i, n in enumerate((10, 20, 30, 100))]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string, n_chars long"
+        ).coalesce(1).write.parquet(f"{tmp}/documents.parquet")
+        r = source_length_stats(spark, tmp).collect()[0]
+        assert (r["p25_chars"], r["p50_chars"], r["p75_chars"],
+                r["p95_chars"]) == (17.5, 25.0, 47.5, 89.5)
+        assert (r["n_docs"], r["total_chars"], r["min_chars"],
+                r["max_chars"], r["mean_chars"]) == (4, 160, 10, 100, 40.0)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_stream_windows_match_batch_restatement(spark):
     """Batch/stream parity: the bounded watermarked replay must emit
     exactly the tumbling windows the batch plan computes — every window

@@ -102,7 +102,8 @@ def test_no_python_eval_in_analytical_plans(spark):
                  "dataset_split", "training_layout",
                  "semantic_dedup", "bm25_search", "dsir_importance",
                  "ann_pq", "bpe_train", "bpe_fertility",
-                 "event_sessions", "events_asof_error"):
+                 "event_sessions", "events_asof_error",
+                 "source_length_stats"):
         plan = plan_of(qs[name](spark, SF))
         assert "Python" not in plan and "MapInPandas" not in plan, name
 
