@@ -573,6 +573,15 @@ def _event_consts() -> tuple[int, int]:
 
 _SESSION_GAP_MICROS, _WINDOW_MICROS = _event_consts()
 
+
+def _bpe_max_word() -> int:
+    from smartreader_spark.functions.bpe import MAX_WORD_CHARS
+
+    return MAX_WORD_CHARS
+
+
+_BPE_MAX_WORD = _bpe_max_word()
+
 # the GPT-2-style pre-tokenizer pattern, SQL-quoted (RE2-compatible —
 # verified identical tokenization between Java regex, RE2 and Python re)
 def _bpe_pat_sql() -> str:
@@ -594,6 +603,7 @@ def _bpe_train_ctes() -> tuple[str, int]:
     The LEFT JOIN ON TRUE keeps w{k+1} = w{k} when the round fired no
     merge, mirroring the Spark loop's early break."""
     from smartreader_spark.functions.bpe import (
+        MAX_WORD_CHARS,
         MIN_PAIR_COUNT,
         NUM_MERGES,
         WORD_END,
@@ -608,6 +618,7 @@ def _bpe_train_ctes() -> tuple[str, int]:
                 SELECT word, count(*) AS cnt FROM (
                   SELECT unnest({_TOKS}) AS word FROM documents
                 ) WHERE word <> '' AND NOT contains(word, {d})
+                  AND length(word) <= {MAX_WORD_CHARS}
                 GROUP BY word
               )
             )"""
@@ -1942,6 +1953,7 @@ def oracle_sql() -> dict[str, str]:
             ), tokf AS (
               SELECT doc_id, word FROM tok
               WHERE word <> '' AND NOT contains(word, chr(31))
+                AND length(word) <= {_BPE_MAX_WORD}
             ), per_doc AS (
               SELECT t.doc_id, count(*) AS n_words,
                      CAST(sum(s.n_subwords_w) AS BIGINT) AS n_subwords

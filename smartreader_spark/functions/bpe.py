@@ -58,6 +58,12 @@ WORD_END = "</w>"
 # oracle-mirrored training knobs
 NUM_MERGES = 12
 MIN_PAIR_COUNT = 2
+#: words longer than this are excluded from the vocabulary (and from
+#: the apply-side join) — the merge fold is O(len^2) per word, so an
+#: unbounded whitespace token (a URL blob, a base64 run) would go
+#: quadratic at web scale; every production trainer bounds or splits
+#: such tokens, and no natural-language word exceeds this
+MAX_WORD_CHARS = 64
 
 
 def _word_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,8 +72,13 @@ def _word_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select(tok)
         # chr(31) is the oracle's symbol delimiter — excluded from the
-        # vocabulary in BOTH engines so the representations agree
-        .where((F.col("word") != "") & (~F.col("word").contains("\x1f")))
+        # vocabulary in BOTH engines so the representations agree;
+        # overlong pseudo-words are excluded for the O(len^2) bound
+        .where(
+            (F.col("word") != "")
+            & (~F.col("word").contains("\x1f"))
+            & (F.length("word") <= MAX_WORD_CHARS)
+        )
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )
@@ -190,7 +201,11 @@ def bpe_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             "doc_id", F.explode(F.split(_norm(F.col("text")), " ")).alias("word")
         )
-        .where((F.col("word") != "") & (~F.col("word").contains("\x1f")))
+        .where(
+            (F.col("word") != "")
+            & (~F.col("word").contains("\x1f"))
+            & (F.length("word") <= MAX_WORD_CHARS)
+        )
     )
     per_doc = (
         toks.join(F.broadcast(seg_sizes), "word")

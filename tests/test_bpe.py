@@ -49,8 +49,13 @@ def spark():
 
 
 def _py_tokens(text: str) -> list[str]:
+    from smartreader_spark.functions.bpe import MAX_WORD_CHARS
+
     norm = re.sub(r"\s+", " ", text.strip().lower())
-    return [w for w in norm.split(" ") if w and "\x1f" not in w]
+    return [
+        w for w in norm.split(" ")
+        if w and "\x1f" not in w and len(w) <= MAX_WORD_CHARS
+    ]
 
 
 def _py_apply_merge(seg: list[str], lhs: str, rhs: str) -> list[str]:
@@ -154,6 +159,54 @@ def test_fold_equals_wrapped_replace(seg, lhs, rhs):
 # ---------------------------------------------------------------------------
 # early-stop parity: Spark loop break == oracle's empty-argmax rounds
 # ---------------------------------------------------------------------------
+
+
+def test_bpe_overlong_word_excluded(spark):
+    """The MAX_WORD_CHARS valve: a 65-char pseudo-word (URL blob shape)
+    is excluded from the vocabulary and the apply-side token stream in
+    both engines — without it the merge fold would be O(len^2) on
+    unbounded junk tokens at corpus scale."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from smartreader_spark.functions.bpe import (
+        bpe_segment_counts,
+        learn_bpe_merges,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bpelong_")
+    try:
+        blob = "x" * 65
+        rows = [(0, f"ab ab {blob}"), (1, blob)]
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(f"{tmp}/documents.parquet")
+
+        merges = [
+            (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+            for r in learn_bpe_merges(spark, tmp).collect()
+        ]
+        # the blob (which would carry 128 'xx' pairs) must not appear:
+        # only the ab-family merges survive
+        assert merges == [(0, "a", "b", 2), (1, "ab", "</w>", 2)]
+
+        fert = {
+            r["doc_id"]: (r["n_words"], r["n_subwords"])
+            for r in bpe_segment_counts(spark, tmp).collect()
+        }
+        assert fert == {0: (2, 2), 1: (0, 0)}
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp}/documents.parquet/*.parquet')"
+        )
+        o = con.execute(entrymod.oracle_sql()["bpe_train"]).fetchall()
+        assert [tuple(r) for r in o] == merges
+        of = con.execute(entrymod.oracle_sql()["bpe_fertility"]).fetchall()
+        assert {r[0]: (r[1], r[2]) for r in of} == fert
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def test_bpe_early_stop_parity_with_oracle(spark):
