@@ -108,15 +108,19 @@ def events_asof_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("micros")
         .rangeBetween(Window.unboundedPreceding, -1)
     )
-    last_err = F.max(err_mark).over(w)
+    # materialize the window max ONCE (field access on the struct
+    # column, not per-field window instances — three identical max
+    # buffers otherwise survive into the physical plan)
     return (
-        ev.select(
+        ev.withColumn("_last_err", F.max(err_mark).over(w))
+        .select(
             "event_id",
             "user_id",
             "event_type",
-            last_err["i"].alias("last_error_id"),
+            F.col("_last_err.i").alias("last_error_id"),
             F.when(
-                last_err["m"].isNotNull(), F.col("micros") - last_err["m"]
+                F.col("_last_err.m").isNotNull(),
+                F.col("micros") - F.col("_last_err.m"),
             ).alias("micros_since_error"),
         )
         .orderBy("event_id")
