@@ -218,6 +218,65 @@ def test_source_length_stats_interpolation(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_stream_windows_span_batches_with_zero_drops(spark):
+    """Pins the replay-order guarantee structurally: the bounded replay
+    processes the real events across MULTIPLE micro-batches (the
+    watermark genuinely advances between them) and the state operator
+    reports zero rows dropped by watermark — the property the
+    time-ordered source layout exists to provide."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from smartreader_spark.streaming.window_stream import (
+        _build_time_ordered_source,
+        windowed_event_counts,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = _build_time_ordered_source(spark, SF)
+    sink = _tempfile.mkdtemp(prefix="wsink_")
+    ckpt = _tempfile.mkdtemp(prefix="wckpt_")
+    try:
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp_ntz, user_id long, "
+                "event_type string, value double, props string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            windowed_event_counts(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = q.recentProgress
+        data_batches = [p for p in progress if p["numInputRows"] > 0]
+        assert len(data_batches) >= 3  # 4 range files + flush
+        drops = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in progress
+            for op in p.get("stateOperators", [])
+        )
+        assert drops == 0
+        # the watermark must genuinely advance across the replay
+        wms = [
+            p["eventTime"]["watermark"]
+            for p in progress
+            if p.get("eventTime", {}).get("watermark")
+        ]
+        assert len(set(wms)) >= 3
+    finally:
+        _shutil.rmtree(src, ignore_errors=True)
+        _shutil.rmtree(sink, ignore_errors=True)
+        _shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def test_stream_windows_match_batch_restatement(spark):
     """Batch/stream parity: the bounded watermarked replay must emit
     exactly the tumbling windows the batch plan computes — every window
