@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_asof_error,
     )
     from smartreader_spark.functions.stats import source_length_stats
+    from smartreader_spark.streaming.asof_stream import stream_asof_error_bounded
     from smartreader_spark.streaming.join_stream import (
         stream_interval_join_bounded,
     )
@@ -544,6 +545,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # interpolation cross-checked against DuckDB quantile_cont;
         # approx_percentile is the documented 100 TB swap-in)
         "source_length_stats": source_length_stats,
+        # custom-stateful streaming as-of enrichment: per-user (micros,
+        # id) error state in the state store; the oracle is the SAME
+        # DuckDB ASOF JOIN as the batch operator — batch/stream parity
+        # for applyInPandasWithState
+        "stream_asof_error": stream_asof_error_bounded,
     }
 
 
@@ -2111,5 +2117,25 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY source
             ORDER BY source
+        """,
+        # --- custom-stateful streaming as-of gate (streaming/
+        # asof_stream.py): the IDENTICAL oracle as the batch
+        # events_asof_error — DuckDB's native ASOF JOIN — proving
+        # batch/stream parity of the state-store implementation
+        "stream_asof_error": """
+            WITH e AS (
+              SELECT event_id, user_id, event_type, epoch_us(ts) AS micros
+              FROM events
+            ), err AS (
+              SELECT user_id, micros, max(event_id) AS err_id
+              FROM e WHERE event_type = 'error'
+              GROUP BY user_id, micros
+            )
+            SELECT e.event_id, e.user_id, e.event_type,
+                   r.err_id AS last_error_id,
+                   e.micros - r.micros AS micros_since_error
+            FROM e ASOF LEFT JOIN err r
+              ON e.user_id = r.user_id AND e.micros > r.micros
+            ORDER BY e.event_id
         """,
     }

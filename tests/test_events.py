@@ -164,6 +164,42 @@ def test_stream_session_windows_agree_with_batch_sessionizer(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_stream_asof_matches_batch_including_ties(spark):
+    """Batch/stream parity of the custom-stateful as-of gate on the
+    tie-heavy handcrafted corpus AND on sf0.001: same-microsecond error
+    ties break to max id, exact-microsecond events excluded, state
+    carried across micro-batches."""
+    from smartreader_spark.functions.events import events_asof_error
+    from smartreader_spark.streaming.asof_stream import (
+        stream_asof_error_bounded,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="asofstream_")
+    try:
+        rows = [
+            (0, "2024-01-01 00:00:00", 1, "error", 0.0),
+            (1, "2024-01-01 00:00:00", 1, "error", 0.0),
+            (2, "2024-01-01 00:00:00", 1, "view", 1.0),
+            (3, "2024-01-01 00:00:01", 1, "view", 1.0),
+            (4, "2024-01-01 00:01:00", 1, "error", 0.0),
+            (5, "2024-01-01 00:02:00", 1, "view", 1.0),
+            (6, "2024-01-01 00:00:30", 2, "view", 1.0),
+        ]
+        _write_events(spark, tmp, rows)
+        for sf in (tmp, SF):
+            got = {
+                r["event_id"]: (r["last_error_id"], r["micros_since_error"])
+                for r in stream_asof_error_bounded(spark, sf).collect()
+            }
+            want = {
+                r["event_id"]: (r["last_error_id"], r["micros_since_error"])
+                for r in events_asof_error(spark, sf).collect()
+            }
+            assert got == want and len(got) > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_stream_interval_join_inclusive_bounds(spark):
     """Pins the interval join's boundary semantics: errors exactly 1 h
     before and exactly AT the click are both matched (inclusive bounds);
