@@ -14,14 +14,14 @@ carry "time since this host last errored". State per user is ONE
 entity-key shuffle discipline as the batch operator.
 
 Correctness contract (the oracle is the SAME DuckDB ASOF JOIN as the
-batch op): rows within each Arrow feed are sorted by (micros,
-event_id) and annotated sequentially; the state update keeps the MAX
-(micros, event_id) error, which is commutative, and the
-strictly-earlier comparison (state.micros < row.micros) excludes
-same-microsecond errors regardless of which side of a micro-batch (or
-range-partition file) boundary they landed on. The time-ordered replay
-guarantees batch N+1 rows are >= batch N's max, so state never has to
-"look ahead"."""
+batch op): each batch's Arrow chunks are concatenated and sorted ONCE
+by (micros, event_id), then annotated with a vectorized prefix-scan
+(`maximum.accumulate` + `searchsorted` — no per-row Python); the state
+update keeps the MAX (micros, event_id) error, which is commutative,
+and the strictly-earlier boundary excludes same-microsecond errors
+regardless of which side of a micro-batch (or range-partition file)
+boundary they landed on. The time-ordered replay guarantees batch N+1
+rows are >= batch N's max, so state never has to "look ahead"."""
 
 from __future__ import annotations
 
@@ -53,50 +53,80 @@ ASOF_STATE_SCHEMA = T.StructType(
 
 
 def _asof_group(key, pdfs, state):
+    """Vectorized: the batch's chunks are CONCATENATED before
+    processing (Arrow may split one group's batch rows into several
+    feeds whose relative order is partition order, not time order — a
+    per-chunk state fold would let a later-fed earlier-time error leak
+    backwards), then sorted once by (micros, event_id). The prior state
+    is a virtual row 0; `maximum.accumulate` over error positions gives
+    "latest error at-or-before", and a left `searchsorted` gives the
+    boundary below which errors are STRICTLY earlier — same-microsecond
+    errors are excluded structurally, and the last error at a given
+    microsecond is the max event_id because of the sort. No per-row
+    Python."""
+    import numpy as np
     import pandas as pd
 
     (user_id,) = key
     err_m, err_i = state.get if state.exists else (None, None)
 
-    frames = []
-    for pdf in pdfs:
-        if not len(pdf):
-            continue
-        pdf = pdf.sort_values(["micros", "event_id"], kind="mergesort")
-        out_err, out_age = [], []
-        for m, i, et in zip(pdf["micros"], pdf["event_id"], pdf["event_type"]):
-            m = int(m)
-            i = int(i)
-            if err_m is not None and err_m < m:
-                out_err.append(err_i)
-                out_age.append(m - err_m)
-            else:
-                out_err.append(None)
-                out_age.append(None)
-            if et == "error" and (err_m is None or (m, i) > (err_m, err_i)):
-                err_m, err_i = m, i
-        frames.append(
-            pd.DataFrame(
-                {
-                    "event_id": pdf["event_id"].to_numpy(),
-                    "user_id": user_id,
-                    "event_type": pdf["event_type"].to_numpy(),
-                    "last_error_id": pd.array(out_err, dtype="Int64"),
-                    "micros_since_error": pd.array(out_age, dtype="Int64"),
-                }
-            )
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        yield pd.DataFrame(
+            columns=[
+                "event_id", "user_id", "event_type",
+                "last_error_id", "micros_since_error",
+            ]
         )
+        return
+
+    pdf = (
+        pd.concat(chunks, ignore_index=True)
+        .sort_values(["micros", "event_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    micros = pdf["micros"].to_numpy(dtype="int64")
+    ids = pdf["event_id"].to_numpy(dtype="int64")
+    is_err = (pdf["event_type"] == "error").to_numpy()
+    n = len(micros)
+
+    # virtual index space: 0 = carried state, j = row j-1
+    last_err_pos = np.maximum.accumulate(
+        np.where(np.concatenate(([err_m is not None], is_err)),
+                 np.arange(n + 1), -1)
+    )
+    # rows strictly earlier than row i occupy virtual indices
+    # 1..searchsorted(left); the state (virtual 0) is always earlier by
+    # the time-ordered replay contract
+    pos = last_err_pos[np.searchsorted(micros, micros, side="left")]
+    m_all = np.concatenate(([err_m if err_m is not None else 0], micros))
+    i_all = np.concatenate(([err_i if err_i is not None else 0], ids))
+    matched = pos >= 0
+    safe = np.maximum(pos, 0)
+    out_err = pd.Series(i_all[safe], dtype="Int64").mask(~matched)
+    out_age = pd.Series(micros - m_all[safe], dtype="Int64").mask(~matched)
+
+    # fold this batch's errors into state: max (micros, id) error —
+    # with the sort, that is simply the LAST error row
+    if is_err.any():
+        k = np.flatnonzero(is_err)[-1]
+        cand = (int(micros[k]), int(ids[k]))
+        if err_m is None or cand > (err_m, err_i):
+            err_m, err_i = cand
+
+    frames = [
+        pd.DataFrame(
+            {
+                "event_id": ids,
+                "user_id": user_id,
+                "event_type": pdf["event_type"].to_numpy(),
+                "last_error_id": out_err,
+                "micros_since_error": out_age,
+            }
+        )
+    ]
     if err_m is not None:
         state.update((err_m, err_i))
-    if not frames:
-        frames.append(
-            pd.DataFrame(
-                columns=[
-                    "event_id", "user_id", "event_type",
-                    "last_error_id", "micros_since_error",
-                ]
-            )
-        )
     yield from frames
 
 

@@ -98,6 +98,14 @@ def _build_time_ordered_source(spark: SparkSession, sf_dir: str) -> str:
     import os
 
     src = tempfile.mkdtemp(prefix="smartreader_eventstream_src_")
+    try:
+        return _fill_time_ordered_source(spark, sf_dir, src, glob, os)
+    except BaseException:
+        shutil.rmtree(src, ignore_errors=True)
+        raise
+
+
+def _fill_time_ordered_source(spark, sf_dir, src, glob, os) -> str:
     (
         spark.read.parquet(f"{sf_dir}/events.parquet")
         .repartitionByRange(4, "ts")
