@@ -102,25 +102,84 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str,
        functions.
 
     The bucket formula is SQL-reproducible, so the DuckDB oracle states
-    the exact same candidate set."""
-    from .similarity import _srp_bucket, cosine
+    the exact same candidate set.
+
+    r7 execution shape (same pair set, same cosine bits — guide §2/§4):
+    the 4-plane bucket space has only 16 values, so the bare bucket
+    equi-join hash-partitioned into ≤16 partitions and AQE then
+    *coalesced* those (small map output) down to ~2 tasks while the
+    join's O(Σ bucket²) pair expansion — invisible to byte-based
+    coalescing — ran serially (measured: 239.9 s at sf1.0 on 32 cores).
+    Fix: (a) salt the join key — side A carries salt = vec_id mod S,
+    side B is exploded over all S salts, so every bucket splits into S
+    independent slices and the explicit repartition(P) pins the
+    parallelism (user-specified partition counts are exempt from AQE
+    coalescing); (b) per-vector norms are computed ONCE before the join
+    (the per-pair cost drops from three interpreted folds to one);
+    (c) the SRP plane weights are inlined as driver-computed literals
+    (bit-identical — see _srp_weights) instead of per-element md5/conv.
+    The per-pair dot itself stays the interpreted zip_with/aggregate
+    fold: a measured A/B at sf1.0 (13.0M pairs) put it at 13.0 s vs
+    35.9 s for a 64-term unrolled expression — the unrolled form blows
+    the JVM's 64 KB generated-method limit, falls out of codegen, and
+    interprets SLOWER than the higher-order fold. S and P derive from
+    the session's parallelism, not a local constant."""
+    from .similarity import (
+        _dim_of,
+        _dot,
+        _norm,
+        _spread,
+        _srp_bucket,
+        cosine,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
+    dim = None if exact else _dim_of(spark, sf_dir)
     if exact:
         a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
         b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
         joined = a.join(b, F.col("vec_a") < F.col("vec_b"))
+        cos = F.round(cosine(F.col("ea"), F.col("eb")), 6)
+    elif dim:
+        par = spark.sparkContext.defaultParallelism
+        n_salt = 32            # slices per bucket (B-side replication)
+        n_part = max(2 * par, 16)
+        emb = _spread(emb).withColumn(
+            "bucket", _srp_bucket(F.col("embedding"), n_planes, dim=dim)
+        ).withColumn("nrm", _norm(F.col("embedding")))
+        a = emb.select(
+            "bucket",
+            F.pmod(F.col("vec_id"), F.lit(n_salt)).cast("int").alias("salt"),
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("ea"),
+            F.col("nrm").alias("na"),
+        ).repartition(n_part, "bucket", "salt")
+        b = emb.select(
+            "bucket",
+            F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("salt"),
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("eb"),
+            F.col("nrm").alias("nb"),
+        ).repartition(n_part, "bucket", "salt")
+        joined = a.join(b, ["bucket", "salt"]).filter(
+            F.col("vec_a") < F.col("vec_b")
+        )
+        cos = F.round(
+            _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
+            6,
+        )
     else:
         emb = emb.withColumn("bucket", _srp_bucket(F.col("embedding"), n_planes))
         a = emb.select("bucket", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
         b = emb.select("bucket", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
         joined = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+        cos = F.round(cosine(F.col("ea"), F.col("eb")), 6)
     return (
         joined
-        .withColumn("cosine", F.round(cosine(F.col("ea"), F.col("eb")), 6))
+        .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
         .orderBy("vec_a", "vec_b")

@@ -52,6 +52,77 @@ def _norm(a):
     )
 
 
+# --- r7 plan-shape helpers ----------------------------------------------
+#
+# Three measured facts drive the shapes below (OPTIMIZATION_r07.md §ANN):
+#
+# 1. The sf parquet inputs are ONE file / one row group, so every
+#    corpus-side map stage ran on ≤2 of 32 cores (guide §2.5's
+#    "unsplittable input" case). `_spread` repartitions right after the
+#    read; the count derives from the session's parallelism, never a
+#    local constant.
+# 2. Building literal-heavy expressions through the Python Column API
+#    costs one py4j round-trip PER OPERATOR (~10-17 s of driver time for
+#    a 16×64 codebook). `_lit_vec_sql`/`_lit_mat_sql` emit the whole
+#    literal as ONE SQL string — CAST('<repr>' AS DOUBLE) parses the
+#    shortest-roundtrip decimal back to the bit-identical double — and
+#    constant folding collapses it to a single array literal.
+# 3. Fully unrolling a 64-term dot into a static expression tree blows
+#    the JVM's 64 KB generated-method limit: codegen fails, the stage
+#    falls back, and the interpreted unrolled tree is ~3x SLOWER than
+#    the interpreted higher-order fold (35.9 s vs 13.0 s at 13M pairs).
+#    So the per-element math deliberately STAYS in zip_with/aggregate
+#    form — small trees that compile fast — and the wins come from
+#    parallelism, single-evaluation of norms, and literal codebooks.
+
+
+def _dim_of(spark: SparkSession, sf_dir: str):
+    """Embedding dimensionality probed from one row (codebook-sized
+    driver state, the ivf_topk collect precedent); None on empty."""
+    row = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(F.size("embedding").alias("d"))
+        .limit(1)
+        .collect()
+    )
+    return int(row[0]["d"]) if row else None
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a small-file scan over the cluster before map-heavy work
+    (scale-adaptive: defaultParallelism tracks the cluster size; on a
+    100 TB many-file input the extra exchange is metadata-cheap relative
+    to the compute it unblocks, and at sf sizes it moves ~MBs)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def _dlit_sql(v) -> str:
+    """One double literal for F.expr, bit-exact: repr() is the shortest
+    string that round-trips the double, and casting a decimal string to
+    DOUBLE is correctly rounded on every engine."""
+    return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+
+def _lit_vec_sql(vals) -> str:
+    return "array(" + ", ".join(_dlit_sql(v) for v in vals) + ")"
+
+
+def _lit_mat_sql(rows) -> str:
+    return "array(" + ", ".join(_lit_vec_sql(r) for r in rows) + ")"
+
+
+def _norm_py(vals) -> float:
+    """Driver-side `_norm` over a literal vector: the identical left
+    fold in IEEE doubles (Python floats ARE doubles) + one correctly-
+    rounded sqrt — bit-identical to evaluating `_norm` on the array."""
+    import math
+
+    acc = 0.0
+    for v in vals:
+        acc = acc + v * v
+    return math.sqrt(acc)
+
+
 def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
@@ -62,13 +133,22 @@ def brute_force_topk(spark: SparkSession, sf_dir: str,
     The query side is tiny → broadcast; corpus side streams once."""
     from pyspark.sql.window import Window
 
-    emb = _load(spark, sf_dir).select("vec_id", "embedding")
+    # r7: spread the single-file scan over the cluster and compute each
+    # side's norm ONCE before the join — cosine = dot/(qn·nrm) is the
+    # identical value with one interpreted fold per pair instead of three
+    emb = _spread(_load(spark, sf_dir).select("vec_id", "embedding"))
+    emb = emb.withColumn("nrm", _norm(F.col("embedding")))
     queries = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        F.col("nrm").alias("qn"),
+    )
+    score = F.round(
+        _dot(F.col("q"), F.col("embedding")) / (F.col("qn") * F.col("nrm")), 6
     )
     scored = (
         emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-        .withColumn("score", F.round(cosine(F.col("q"), F.col("embedding")), 6))
+        .withColumn("score", score)
         .select("query_id", "vec_id", "score")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
@@ -77,6 +157,27 @@ def brute_force_topk(spark: SparkSession, sf_dir: str,
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "score", "rank")
         .orderBy("query_id", "rank")
+    )
+
+
+def _cell_scores_sql(centroids, emb_name="embedding", norm_name="nrm"):
+    """One-SQL-expression twin of `_cell_scores` for a precomputed
+    row-norm column `norm_name`: scores[i] = round(dot(emb, CB[i]) /
+    (row_norm · ||CB[i]||), 6) with the identical zip_with/aggregate
+    fold and the identical (row_norm · centroid_norm) product order as
+    `cosine` — the codebook folds to ONE array<array<double>> literal
+    and the centroid norms (driver-computed, `_norm_py`, bit-identical)
+    to one literal vector, so plan construction is a single expr parse
+    instead of thousands of py4j calls, and the row norm is evaluated
+    once per row instead of once per centroid."""
+    cb = _lit_mat_sql(centroids)
+    nrms = _lit_vec_sql([_norm_py(c) for c in centroids])
+    n = len(centroids)
+    return F.expr(
+        f"transform(sequence(0, {n - 1}), i -> named_struct("
+        f"'s', round(aggregate(zip_with({emb_name}, {cb}[i], (x, y) -> x * y), "
+        f"0.0D, (acc, v) -> acc + v) / ({norm_name} * {nrms}[i]), 6), "
+        f"'nc', -i))"
     )
 
 
@@ -138,30 +239,46 @@ def ivf_topk(spark: SparkSession, sf_dir: str,
         .collect()
     ]
 
-    scores = _cell_scores(F.col("embedding"), centroids)
+    fast = bool(centroids)
+    if fast:
+        # r7: spread the single-file scan; ONE interpreted row norm per
+        # row (not one per centroid); codebook + centroid norms fold to
+        # SQL literals — identical cosine values (helper block above)
+        emb = _spread(emb).withColumn("nrm", _norm(F.col("embedding")))
+        scores = _cell_scores_sql(centroids)
+    else:
+        scores = _cell_scores(F.col("embedding"), centroids)
     assigned = emb.withColumn(
         "cell", (-F.array_max(scores)["nc"]).cast("int")
     )
     # top-nprobe cells per query: sort the per-cell score structs
     # descending and slice — (s, nc) descending puts score ties on the
     # smallest cell first
-    probes = (
-        emb.filter(F.col("vec_id") < n_queries)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q"),
-            F.explode(
-                F.transform(
-                    F.slice(F.reverse(F.array_sort(scores)), 1, nprobe),
-                    lambda s: (-s["nc"]).cast("int"),
-                )
-            ).alias("cell"),
+    probe_cols = [
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        F.explode(
+            F.transform(
+                F.slice(F.reverse(F.array_sort(scores)), 1, nprobe),
+                lambda s: (-s["nc"]).cast("int"),
+            )
+        ).alias("cell"),
+    ]
+    if fast:
+        probe_cols.append(F.col("nrm").alias("qn"))
+    probes = emb.filter(F.col("vec_id") < n_queries).select(*probe_cols)
+    if fast:
+        score = F.round(
+            _dot(F.col("q"), F.col("embedding"))
+            / (F.col("qn") * F.col("nrm")),
+            6,
         )
-    )
+    else:
+        score = F.round(cosine(F.col("q"), F.col("embedding")), 6)
     scored = (
         assigned.join(F.broadcast(probes), ["cell"])
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("score", F.round(cosine(F.col("q"), F.col("embedding")), 6))
+        .withColumn("score", score)
         .select("query_id", "vec_id", "score")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
@@ -257,47 +374,39 @@ def ann_pq(spark: SparkSession, sf_dir: str,
         for _, q in queries
     ]
 
-    def _code(m: int):
-        sub = F.slice("embedding", m * d0 + 1, d0)
-        best = F.array_max(
-            F.array(
-                *[
-                    F.struct(
-                        F.round(
-                            _dot(sub, F.array(*[F.lit(float(x)) for x in cb[m][j]])),
-                            6,
-                        ).alias("s"),
-                        F.lit(-j).alias("nj"),
-                    )
-                    for j in range(n_cent)
-                ]
-            )
-        )
-        return (-best["nj"]).cast("int")
-
-    coded = emb.select(
-        "vec_id", F.array(*[_code(m) for m in range(m_sub)]).alias("codes")
+    # r7: the sub-codebook folds to ONE array<array<array<double>>> SQL
+    # literal and the whole per-row code array is a single transform
+    # expression — identical slice/zip_with/aggregate fold, identical
+    # round + lexicographic argmax (tie → smallest j), but the plan is
+    # built with ONE expr parse instead of thousands of py4j calls and
+    # the scan is spread over the cluster (helper block above)
+    cb_sql = "array(" + ", ".join(_lit_mat_sql(cb[m]) for m in range(m_sub)) + ")"
+    codes_expr = F.expr(
+        f"transform(sequence(0, {m_sub - 1}), m -> CAST(-array_max("
+        f"transform(sequence(0, {n_cent - 1}), j -> named_struct("
+        f"'s', round(aggregate(zip_with(slice(embedding, m * {d0} + 1, {d0}), "
+        f"{cb_sql}[m][j], (x, y) -> x * y), 0.0D, (acc, v) -> acc + v), 6), "
+        f"'nj', -j))).nj AS INT))"
     )
+    coded = _spread(emb).select("vec_id", codes_expr.alias("codes"))
     # ADC: score(q, x) = Σ_m lut[q][m][code_m(x)] — pure map-side
-    # element_at lookups against literal int arrays
-    per_query = [
-        F.struct(
-            F.lit(int(qid)).cast("long").alias("query_id"),
-            sum(
-                (
-                    F.element_at(
-                        F.array(*[F.lit(int(v)).cast("long") for v in lut[qi][m]]),
-                        F.col("codes")[m] + 1,
-                    )
-                    for m in range(m_sub)
-                ),
-                F.lit(0).cast("long"),
-            ).alias("s_micro"),
+    # element_at lookups against literal int arrays (one expr string:
+    # exact integer sums, order-free)
+    per_query_sql = ", ".join(
+        "named_struct('query_id', CAST({qid} AS BIGINT), 's_micro', "
+        "CAST(0 AS BIGINT) + {terms})".format(
+            qid=int(qid),
+            terms=" + ".join(
+                "element_at(array({lits}), codes[{m}] + 1)".format(
+                    lits=", ".join(f"{int(v)}L" for v in lut[qi][m]), m=m
+                )
+                for m in range(m_sub)
+            ),
         )
         for qi, (qid, _) in enumerate(queries)
-    ]
+    )
     scored = (
-        coded.select("vec_id", F.explode(F.array(*per_query)).alias("q"))
+        coded.select("vec_id", F.explode(F.expr(f"array({per_query_sql})")).alias("q"))
         .select("vec_id", F.col("q.query_id").alias("query_id"),
                 F.col("q.s_micro").alias("s_micro"))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -352,10 +461,20 @@ def semantic_dedup(spark: SparkSession, sf_dir: str,
         r["embedding"]
         for r in emb.filter(F.col("vec_id") < n_cells).orderBy("vec_id").collect()
     ]
-    scores = _cell_scores(F.col("embedding"), centroids)
-    assigned = emb.withColumn(
-        "cell", (-F.array_max(scores)["nc"]).cast("int")
-    ).withColumn("nrm", _norm(F.col("embedding")))
+    if centroids:
+        # r7: spread the scan; ONE row norm feeds both the cell scores
+        # and the unit normalization; codebook folds to SQL literals —
+        # identical values (helper block above)
+        emb = _spread(emb).withColumn("nrm", _norm(F.col("embedding")))
+        scores = _cell_scores_sql(centroids)
+        assigned = emb.withColumn(
+            "cell", (-F.array_max(scores)["nc"]).cast("int")
+        )
+    else:
+        scores = _cell_scores(F.col("embedding"), centroids)
+        assigned = emb.withColumn(
+            "cell", (-F.array_max(scores)["nc"]).cast("int")
+        ).withColumn("nrm", _norm(F.col("embedding")))
     unit = assigned.select(
         "vec_id",
         "cell",
@@ -367,10 +486,11 @@ def semantic_dedup(spark: SparkSession, sf_dir: str,
     b = unit.select(
         F.col("vec_id").alias("b_id"), "cell", F.col("u").alias("ub")
     )
+    pair_dot = _dot(F.col("ua"), F.col("ub"))
     pairs = (
         a.join(b, "cell")
         .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("cosine", F.round(_dot(F.col("ua"), F.col("ub")), 6))
+        .withColumn("cosine", F.round(pair_dot, 6))
         .filter(F.col("cosine") >= threshold)
     )
     dups = pairs.groupBy("b_id").agg(F.min("a_id").alias("dup_of"))
@@ -387,14 +507,50 @@ def semantic_dedup(spark: SparkSession, sf_dir: str,
     )
 
 
-def _srp_bucket(col, n_planes: int = 8):
+def _srp_weights(n_planes: int, dim: int):
+    """Driver-side plane weights — the exact values the in-plan formula
+    produces: int(md5(f"{p}|{i}")[:4], 16) is what conv(substring(md5(…),
+    1,4),16,10)::double yields, /32768.0 and -1.0 are exact in binary
+    (power-of-two divisor; (k-32768)/32768 is representable), so the
+    literal weight is bit-identical to the expression-computed one."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p}|{i}".encode()).hexdigest()[:4], 16)
+            / 32768.0
+            - 1.0
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _srp_bucket(col, n_planes: int = 8, dim=None):
     """Sign-random-projection bucket id: plane p = deterministic pseudo-
     random unit-free vector derived from md5(p||i) (same formula is
     reproducible in SQL); bucket bit p = sign of dot(plane_p, v).
 
-    The per-plane weight index runs over the row's own embedding length
-    (F.size) so plan construction needs no driver-side action to learn the
-    dimension — the whole expression stays inside codegen."""
+    Without `dim`, the per-plane weight index runs over the row's own
+    embedding length (F.size) so plan construction needs no driver-side
+    action to learn the dimension. With `dim` (r7), the weights are
+    precomputed driver-side (`_srp_weights` — md5 of plan constants, NOT
+    of data) and the plane dots unroll into codegen arithmetic: same
+    bucket bits, no per-element md5/conv at runtime."""
+    if dim:
+        ws = _srp_weights(n_planes, dim)
+        bucket = F.lit(0)
+        for p in range(n_planes):
+            pd = F.aggregate(
+                F.zip_with(
+                    col, F.expr(_lit_vec_sql(ws[p])), lambda x, w: x * w
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, v: acc + v,
+            )
+            bucket = bucket + F.when(pd > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        return bucket
+
     # weight(p, i) = (conv(md5(p|i)[:4],16,10) / 32768) - 1  ∈ [-1, 1)
     def plane_dot(p):
         return F.aggregate(
@@ -431,19 +587,39 @@ def lsh_bucketed_topk(spark: SparkSession, sf_dir: str,
     The scale path — equi-join on the bucket id instead of a cross join."""
     from pyspark.sql.window import Window
 
-    emb = _load(spark, sf_dir).select("vec_id", "embedding")
-    emb_b = emb.withColumn("bucket", _srp_bucket(F.col("embedding"), n_planes))
-    queries = emb_b.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q"),
-        F.col("bucket").alias("qbucket"),
+    # r7: spread the single-file scan; literal-weight SRP planes (same
+    # bucket bits — see _srp_weights); norms once per side (same cosine)
+    emb = _spread(_load(spark, sf_dir).select("vec_id", "embedding"))
+    dim = _dim_of(spark, sf_dir)
+    emb_b = emb.withColumn(
+        "bucket", _srp_bucket(F.col("embedding"), n_planes, dim=dim)
     )
+    if dim:
+        emb_b = emb_b.withColumn("nrm", _norm(F.col("embedding")))
+        queries = emb_b.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q"),
+            F.col("bucket").alias("qbucket"),
+            F.col("nrm").alias("qn"),
+        )
+        score = F.round(
+            _dot(F.col("q"), F.col("embedding"))
+            / (F.col("qn") * F.col("nrm")),
+            6,
+        )
+    else:
+        queries = emb_b.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q"),
+            F.col("bucket").alias("qbucket"),
+        )
+        score = F.round(cosine(F.col("q"), F.col("embedding")), 6)
     scored = (
         emb_b.join(
             F.broadcast(queries),
             (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
         )
-        .withColumn("score", F.round(cosine(F.col("q"), F.col("embedding")), 6))
+        .withColumn("score", score)
         .select("query_id", "vec_id", "score")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
