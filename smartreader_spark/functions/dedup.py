@@ -37,6 +37,17 @@ def _load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _spread_docs(docs: DataFrame) -> DataFrame:
+    """r7: the sf documents table is one parquet file / one row group, so
+    its scan feeds at most ~2 tasks (guide §2.5 unsplittable input);
+    repartition right after the read before token-explode-heavy work.
+    Applied at the sf loader call sites only — DataFrame-level
+    *_for_docs entry points leave the caller's partitioning alone."""
+    from .similarity import _spread
+
+    return _spread(docs)
+
+
 def _norm_text(col):
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
@@ -45,38 +56,42 @@ def _tokens(col):
     return F.split(_norm_text(col), " ")
 
 
+def _shingle_stream(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) rows WITHOUT per-doc dedup — duplicate shingles
+    are harmless to the min-aggregations that consume this stream (min
+    over a multiset equals min over its set). Shingles come from slicing
+    the token array directly: one tokenize, zero window sort and zero
+    wide shuffle (the r6 formulation posexploded every token through a
+    per-doc window lead + a distinct — two corpus-wide exchanges).
+
+    The repartition (a) spreads the single-file sf scan over the cluster
+    (guide §2.5) and (b) is the projection barrier that keeps Catalyst
+    from inlining the tokenizer split into every slice reference (the
+    measured quadratic-recompute hazard of array formulations).
+
+    Same per-doc shingle SET as `_shingle_table`: full 3-token windows
+    for pos ≤ n−3; docs with < N tokens keep the whole token list as
+    one shingle."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.select("doc_id", _tokens(F.col("text")).alias("toks")).repartition(
+        par, "doc_id"
+    )
+    n = F.size("toks")
+    shingles = F.when(
+        n >= NGRAM_N,
+        F.transform(
+            F.sequence(F.lit(0), n - NGRAM_N),
+            lambda i: F.concat_ws(" ", F.slice("toks", i + 1, NGRAM_N)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", "toks")))
+    return base.select("doc_id", F.explode(shingles).alias("shingle"))
+
+
 def _shingle_table(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) distinct rows via ONE posexplode + a window lead —
-    linear work. (An array-transform formulation is prettier but Catalyst
-    inlines the `split` into every transform element → quadratic recompute;
-    the exploded relational shape is also what scales: shuffle keys are
-    short shingle strings, never full texts.)
-
-    Matches the array semantics used by the oracle: for docs with < N
-    tokens the whole token list is one shingle."""
-    from pyspark.sql.window import Window
-
-    toks = docs.select(
-        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    sh = toks.select(
-        "doc_id",
-        "pos",
-        F.concat_ws(
-            " ",
-            F.array_compact(
-                F.array("tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w))
-            ),
-        ).alias("shingle"),
-        F.count("*").over(Window.partitionBy("doc_id")).alias("n_toks"),
-    )
-    # keep full windows only, except short docs keep their single partial
-    sh = sh.filter(
-        (F.col("pos") <= F.col("n_toks") - NGRAM_N)
-        | ((F.col("n_toks") < NGRAM_N) & (F.col("pos") == 0))
-    )
-    return sh.select("doc_id", "shingle").distinct()
+    """(doc_id, shingle) DISTINCT rows — the Jaccard-verify input, where
+    set semantics matter. One exchange (the distinct) over the
+    shuffle-free `_shingle_stream`."""
+    return _shingle_stream(docs).distinct()
 
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str,
@@ -216,28 +231,47 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
 
     `sh`: optional precomputed (doc_id, shingle) table (``_shingle_table``
     output, ideally cached) so a pipeline computing both candidates and
-    the Jaccard verify shuffles the token stream once, not twice."""
+    the Jaccard verify shuffles the token stream once, not twice.
+
+    r7 signature mining (same sigs, VERDICT r6 #6): the r6 shape
+    exploded every shingle ×8 bands and shuffled the blown-up stream on
+    (doc_id, band). Now the 8 band hashes are 8 projected columns of ONE
+    pass over the shingle stream — the identical md5(b || shingle) count
+    — and the 8×4 per-band mins are 32 map-side partial aggregates of a
+    single (doc_id) rollup; the long (doc_id, band, sig) table the join
+    needs is a post-aggregation explode of 8 structs per doc. No ×8 row
+    blowup, one narrow exchange, and the shingle stream skips its
+    distinct (min over a multiset ≡ min over its set)."""
     if sh is None:
         docs = _load_documents(spark, sf_dir).select("doc_id", "text")
-        sh = _shingle_table(docs)
-    sigs = (
-        # per-band rows via explode of a literal sequence: a pure
-        # projection (no join operator, nothing broadcast)
-        sh.withColumn(
-            "band", F.explode(F.sequence(F.lit(0), F.lit(MINHASH_BANDS - 1)))
-        )
-        .select(
-            "doc_id",
-            "band",
-            F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat(*[
-                F.min(F.substring("h", 1 + 8 * k, 8))
-                for k in range(MINHASH_ROWS)
-            ]).alias("sig")
-        )
+        sh = _shingle_stream(docs)
+    hs = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{b}|"), F.col("shingle"))).alias(f"h{b}")
+            for b in range(MINHASH_BANDS)
+        ],
+    )
+    wide = hs.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring(F.col(f"h{b}"), 1 + 8 * k, 8)).alias(f"s_{b}_{k}")
+            for b in range(MINHASH_BANDS)
+            for k in range(MINHASH_ROWS)
+        ]
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(
+                    *[F.col(f"s_{b}_{k}") for k in range(MINHASH_ROWS)]
+                ).alias("sig"),
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    sigs = wide.select("doc_id", F.explode(bands).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
 
     a = sigs.alias("a")
@@ -328,7 +362,7 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str,
     recall trade is observable in the primary path (ADVICE r3). The count
     table is at most 6·1024 rows, so the cap costs one broadcast join,
     never a shuffle. Pass ``max_bucket_size=None`` to disable."""
-    docs = _load_documents(spark, sf_dir).select("doc_id", "text")
+    docs = _spread_docs(_load_documents(spark, sf_dir).select("doc_id", "text"))
     return simhash_pairs_for_docs(
         docs, max_hamming=max_hamming, max_bucket_size=max_bucket_size
     )
@@ -389,7 +423,7 @@ def simhash_oversized_buckets(spark: SparkSession, sf_dir: str,
     """Audit companion to `simhash_near_dup_pairs`: the (band, bandbits,
     bucket_n) buckets the skew valve dropped — record it alongside the
     dedup run's lineage so the recall trade is observable, not silent."""
-    docs = _load_documents(spark, sf_dir).select("doc_id", "text")
+    docs = _spread_docs(_load_documents(spark, sf_dir).select("doc_id", "text"))
     return oversized_buckets_for_docs(docs, max_bucket_size=max_bucket_size)
 
 
@@ -406,7 +440,7 @@ def oversized_buckets_for_docs(docs: DataFrame,
 
 
 def _simhash_wide(spark: SparkSession, sf_dir: str, n_bits: int = 60) -> DataFrame:
-    docs = _load_documents(spark, sf_dir).select("doc_id", "text")
+    docs = _spread_docs(_load_documents(spark, sf_dir).select("doc_id", "text"))
     return simhash_wide_signatures(docs, n_bits=n_bits)
 
 
@@ -440,7 +474,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document: for bit i, sign = Σ_tokens (bit_i(md5
     prefix) ? 1 : −1); bit set when sign > 0. Pure expressions: the md5
     prefix converts via conv(hex,16,10), bits via shiftright/bitwise-and."""
-    docs = _load_documents(spark, sf_dir).select("doc_id", "text")
+    docs = _spread_docs(_load_documents(spark, sf_dir).select("doc_id", "text"))
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok")
     ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long"))

@@ -57,16 +57,37 @@ def bm25_search(spark: SparkSession, sf_dir: str,
     """Top-k BM25 hits per query: (query_id, doc_id, score,
     n_terms_matched, rank), rank ordered by the integer micro score
     descending then doc_id ascending."""
+    from .similarity import _spread
+
     docs = _load(spark, sf_dir)
     toks = F.split(_norm(F.col("text")), " ")
+    # r7 (guide §2.3 "shuffle fewer bytes"): every consumer of the tf
+    # table is INNER-joined against the literal query-term set — scored
+    # through the broadcast qt table, and df through qt's own inner join
+    # with qterms — so (doc, term) rows for terms outside the query set
+    # can be dropped BEFORE the tf shuffle. Identical results; the wide
+    # exchange shrinks from the whole corpus vocabulary to the ~17 query
+    # terms' postings. The scan is also spread over the cluster first
+    # (single-file input, guide §2.5).
+    qterm_set = sorted({t for _, q in BM25_QUERIES for t in q.split()})
+    # one tokenize pass total: the corpus-stats scalar agg and the tf
+    # build share the cached tokenized base (the within-query cache
+    # pattern of pipeline_end_to_end; at 100 TB the stats agg would run
+    # off the same materialized pass of an inverted-index build, which
+    # every BM25 indexer pays exactly once)
+    base_tok = (
+        _spread(docs.select("doc_id", "text"))
+        .select("doc_id", toks.alias("toks"))
+        .cache()
+    )
     base = (
-        docs.select("doc_id", toks.alias("toks"))
-        .select(
+        base_tok.select(
             "doc_id",
             F.size("toks").alias("dl"),
             F.explode("toks").alias("term"),
         )
         .where(F.col("term") != "")
+        .where(F.col("term").isin(qterm_set))
     )
     tf = base.groupBy("doc_id", "term").agg(
         F.count("*").alias("tf"), F.max("dl").alias("dl")
@@ -75,7 +96,7 @@ def bm25_search(spark: SparkSession, sf_dir: str,
     # corpus stats: two scalars off one tiny agg (driver-side like the
     # IVF codebook — codebook-sized, never per-row)
     s = (
-        docs.select(F.size(toks).alias("dl"))
+        base_tok.select(F.size("toks").alias("dl"))
         .agg(F.count("*").alias("n"), F.sum("dl").alias("tot"))
         .first()
     )
