@@ -338,7 +338,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def broadcast_join_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Broadcast dim join + top-n: revenue by nation."""
-        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        # r7: project to the two consumed fact columns, then spread the
+        # single-file scan (one row group → one task otherwise carried
+        # the whole probe+aggregate — guide §2.5); ~MBs move, the join
+        # and partial agg run cluster-wide. Identical rows.
+        orders = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select("o_custkey", "o_totalprice")
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
         cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
         nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
         return (

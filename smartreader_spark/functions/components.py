@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from smartreader_spark.functions.dedup import (
     _load_documents,
+    _spread_docs,
     simhash_pairs_for_docs,
 )
 
@@ -68,8 +69,12 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     ).unionByName(
         edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    # the edge list is reused every round: materialize it once
-    sym = sym.localCheckpoint(eager=True)
+    # the edge list is reused every round: materialize it once, ALREADY
+    # hash-partitioned on the join key (checkpoint preserves physical
+    # partitioning, so every round's neighbor join reuses it instead of
+    # re-exchanging the edge list — guide §2.4 "share one exchange")
+    par = vertices.sparkSession.sparkContext.defaultParallelism
+    sym = sym.repartition(par, "src").localCheckpoint(eager=True)
 
     labels = vertices.select(
         F.col("doc_id"), F.col("doc_id").alias("component")
@@ -135,7 +140,8 @@ def dedup_components(spark: SparkSession, sf_dir: str,
     included): (doc_id, component, is_canonical). A downstream dedup
     keeps `is_canonical` rows — exactly one survivor per near-dup
     family, chains and all."""
-    docs = _load_documents(spark, sf_dir).select("doc_id", "text")
+    # r7: spread the single-file scan before signature mining (guide §2.5)
+    docs = _spread_docs(_load_documents(spark, sf_dir).select("doc_id", "text"))
     pairs = simhash_pairs_for_docs(docs, max_hamming=max_hamming).select(
         "doc_a", "doc_b"
     )
@@ -170,7 +176,9 @@ def dedup_family_keep_best(spark: SparkSession, sf_dir: str,
     members. Reference parity: SmartReader is single-document; this
     serves SURVEY §2's training-data pipeline tier with
     dedup_components."""
-    docs = _load_documents(spark, sf_dir).select("doc_id", "text", "n_chars")
+    docs = _spread_docs(
+        _load_documents(spark, sf_dir).select("doc_id", "text", "n_chars")
+    )
     pairs = simhash_pairs_for_docs(
         docs.select("doc_id", "text"), max_hamming=max_hamming
     ).select("doc_a", "doc_b")

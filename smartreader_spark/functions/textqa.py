@@ -167,11 +167,15 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str,
     (N, V) are two scalars off one tiny agg — driver-side like the IVF
     codebook, never per-row.
     """
+    from .similarity import _spread
+
     docs = _load(spark, sf_dir)
     toks = F.split(_norm(F.col("text")), " ")
-    tok_df = docs.select("doc_id", F.explode(toks).alias("token")).where(
-        F.col("token") != ""
-    )
+    # r7: spread the single-file scan before the token explode (guide
+    # §2.5) — both the vocab build and the scoring join re-read this
+    tok_df = _spread(docs.select("doc_id", "text")).select(
+        "doc_id", F.explode(toks).alias("token")
+    ).where(F.col("token") != "")
     # materialize the vocab once (vocab-sized, corpus-independent): the
     # stats agg AND the scoring join both read it, so without this the
     # tokenize+explode+groupBy — a full corpus scan + shuffle — would
@@ -262,9 +266,14 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str,
     second corpus pass). Scoring re-derives the bigram stream map-side
     and joins the dictionary on (w1,w2) and the context table on w1.
     """
+    from .similarity import _spread
+
     docs = _load(spark, sf_dir)
     toks = F.split(_norm(F.col("text")), " ")
-    base = docs.select("doc_id", toks.alias("toks"))
+    # r7: spread the single-file scan before the bigram explode
+    base = _spread(docs.select("doc_id", "text")).select(
+        "doc_id", toks.alias("toks")
+    )
     n = F.size("toks")
     take = F.greatest(n - 1, F.lit(0))
     pairs = F.zip_with(
