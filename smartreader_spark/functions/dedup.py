@@ -94,10 +94,87 @@ def _shingle_table(docs: DataFrame) -> DataFrame:
     return _shingle_stream(docs).distinct()
 
 
+def _pair_cosine_arrow_fn(dim: int, precut: float):
+    """Cogrouped-Arrow pair scorer for `embedding_near_dup_pairs`: for
+    one (bucket, salt) cogroup, score every (a, b) pair with a > b
+    excluded and emit rows whose cosine can possibly round to the
+    threshold (`precut` is a conservative under-bound; the authoritative
+    `round(cosine,6) >= threshold` filter stays in the Spark plan).
+
+    Exactness (the guide §4.2 vectorized-native pattern, kept
+    bit-identical to the JVM fold):
+
+    * np.cumsum IS np.add.accumulate — the same sequential left fold
+      over float64 as aggregate(zip_with(...)) — so per-pair dots and
+      per-vector norms are bit-identical to the JVM higher-order
+      expressions (property-verified on the real corpus in
+      tests/test_functions.py::test_embedding_pairs_arrow_matches_jvm).
+      A prefix that is all -0.0 is the only divergence (+0.0 vs -0.0)
+      and cannot reach the threshold filter.
+    * the 6-decimal rounding of survivors is Decimal(true-double)
+      .quantize(1e-6, ROUND_HALF_UP) — the ann_pq discipline that
+      matches Spark's and DuckDB's round() — applied to the handful of
+      precut survivors, never per pair.
+    """
+
+    def gen(left, right):
+        import numpy as np
+        import pyarrow as pa
+        from decimal import ROUND_HALF_UP, Decimal
+
+        empty = pa.table(
+            {
+                "vec_a": pa.array([], pa.int64()),
+                "vec_b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        if left.num_rows == 0 or right.num_rows == 0:
+            return empty
+
+        def mat(t):
+            arr = t.column("embedding").combine_chunks()
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            return (
+                t.column("vec_id").to_numpy(zero_copy_only=False),
+                flat.reshape(-1, dim).astype(np.float64, copy=False),
+            )
+
+        ia, A = mat(left)
+        ib, B = mat(right)
+        nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
+        na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
+        six = Decimal("0.000001")
+        out_a, out_b, out_c = [], [], []
+        with np.errstate(invalid="ignore", divide="ignore"):
+            for k in range(len(ia)):
+                dots = np.cumsum(A[k] * B, axis=1)[:, -1]
+                cos = dots / (na[k] * nb)
+                m = (ib > ia[k]) & (cos >= precut)
+                for j in np.nonzero(m)[0]:
+                    out_a.append(int(ia[k]))
+                    out_b.append(int(ib[j]))
+                    out_c.append(
+                        float(Decimal(float(cos[j])).quantize(six, ROUND_HALF_UP))
+                    )
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "vec_a": pa.array(out_a, pa.int64()),
+                "vec_b": pa.array(out_b, pa.int64()),
+                "cosine": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    return gen
+
+
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str,
                              threshold: float = 0.4,
                              n_planes: int = 4,
-                             exact: bool = False) -> DataFrame:
+                             exact: bool = False,
+                             jvm_pairs: bool = False) -> DataFrame:
     """APPROXIMATE embedding-cosine near-duplicate pairs: only pairs whose
     embeddings share an SRP (sign-random-projection) bucket are candidates
     — an above-threshold pair split by a sign flip on any plane is NOT
@@ -158,6 +235,41 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str,
         b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
         joined = a.join(b, F.col("vec_a") < F.col("vec_b"))
         cos = F.round(cosine(F.col("ea"), F.col("eb")), 6)
+    elif dim and not jvm_pairs:
+        # r7 default: cogrouped-Arrow pair stage (guide §4.2 — hand the
+        # per-pair arithmetic to vectorized numpy, bit-identically; see
+        # _pair_cosine_arrow_fn). The JVM fold path below (jvm_pairs)
+        # computes the identical result ~3x slower at sf1.0 and is kept
+        # as the pure-expression twin + equivalence gate.
+        n_salt = 8  # cogroup fan-out: 2^n_planes buckets × 8 salts
+        emb_b = _spread(emb).withColumn(
+            "bucket", _srp_bucket(F.col("embedding"), n_planes, dim=dim)
+        )
+        a = emb_b.select(
+            "bucket",
+            F.pmod(F.col("vec_id"), F.lit(n_salt)).cast("int").alias("salt"),
+            "vec_id",
+            "embedding",
+        )
+        b = emb_b.select(
+            "bucket",
+            F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("salt"),
+            "vec_id",
+            "embedding",
+        )
+        pairs = (
+            a.groupBy("bucket", "salt")
+            .cogroup(b.groupBy("bucket", "salt"))
+            .applyInArrow(
+                _pair_cosine_arrow_fn(dim, threshold - 2e-6),
+                "vec_a bigint, vec_b bigint, cosine double",
+            )
+        )
+        return (
+            pairs.filter(F.col("cosine") >= threshold)
+            .select("vec_a", "vec_b", "cosine")
+            .orderBy("vec_a", "vec_b")
+        )
     elif dim:
         par = spark.sparkContext.defaultParallelism
         n_salt = 32            # slices per bucket (B-side replication)

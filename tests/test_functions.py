@@ -310,6 +310,23 @@ def test_embedding_exact_mode_is_recall_superset(spark):
     assert len(exact) >= 1
 
 
+def test_embedding_pairs_arrow_matches_jvm(spark):
+    """The r7 cogrouped-Arrow pair stage must be BIT-identical to the
+    pure-JVM salted-join twin — same pair set, same float64 cosine bits
+    (np.cumsum is the same sequential left fold as aggregate/zip_with;
+    survivor rounding is the ann_pq Decimal half-up discipline)."""
+    from smartreader_spark.functions.dedup import embedding_near_dup_pairs
+
+    arrow = embedding_near_dup_pairs(spark, SF, threshold=0.3).collect()
+    jvm = embedding_near_dup_pairs(
+        spark, SF, threshold=0.3, jvm_pairs=True
+    ).collect()
+    assert len(arrow) == len(jvm) >= 1
+    for ra, rj in zip(arrow, jvm):
+        assert (ra.vec_a, ra.vec_b) == (rj.vec_a, rj.vec_b)
+        assert ra.cosine.hex() == rj.cosine.hex()
+
+
 # ---------------------------------------------------------------------------
 # corpus-curation ops (functions/curation.py)
 # ---------------------------------------------------------------------------
