@@ -242,16 +242,33 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str,
         # computes the identical result ~3x slower at sf1.0 and is kept
         # as the pure-expression twin + equivalence gate.
         n_salt = 8  # cogroup fan-out: 2^n_planes buckets × 8 salts
-        emb_b = _spread(emb).withColumn(
-            "bucket", _srp_bucket(F.col("embedding"), n_planes, dim=dim)
-        )
-        a = emb_b.select(
+
+        # each cogroup side gets its OWN scan subtree: a self-cogroup
+        # from one shared plan trips an analyzer dedup defect where the
+        # FlatMapCoGroupsInArrow node keeps the LEFT side's expression
+        # ids in its right-attribute list, and column pruning then
+        # strips the right child down to the grouping keys (observed:
+        # right table arrived as [bucket, salt] under count()).
+        # Independent reads have distinct ids from the start; the extra
+        # 20k-row bucket computation is noise.
+        def _emb_bucketed():
+            e0 = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+                "vec_id",
+                F.transform("embedding", lambda x: x.cast("double")).alias(
+                    "embedding"
+                ),
+            )
+            return _spread(e0).withColumn(
+                "bucket", _srp_bucket(F.col("embedding"), n_planes, dim=dim)
+            )
+
+        a = _emb_bucketed().select(
             "bucket",
             F.pmod(F.col("vec_id"), F.lit(n_salt)).cast("int").alias("salt"),
             "vec_id",
             "embedding",
         )
-        b = emb_b.select(
+        b = _emb_bucketed().select(
             "bucket",
             F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("salt"),
             "vec_id",
