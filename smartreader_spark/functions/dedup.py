@@ -515,11 +515,18 @@ def simhash_banded_for_docs(docs: DataFrame) -> DataFrame:
 
 
 def simhash_pairs_for_docs(docs: DataFrame, max_hamming: int = 3,
-                           max_bucket_size: int | None = SIMHASH_MAX_BUCKET) -> DataFrame:
+                           max_bucket_size: int | None = SIMHASH_MAX_BUCKET,
+                           banded: DataFrame | None = None) -> DataFrame:
     """DataFrame-level core of `simhash_near_dup_pairs` (same semantics,
     same scale shape) over any (doc_id, text) input — used standalone and
-    as the near-dup stage of the composed training pipeline."""
-    banded = simhash_banded_for_docs(docs)
+    as the near-dup stage of the composed training pipeline.
+
+    `banded`: optional precomputed `simhash_banded_for_docs(docs)` table
+    (ideally cached) so a pipeline that also audits the skew valve
+    (`oversized_buckets_for_docs`) computes the 60-bit signatures once,
+    not once per consumer (r7)."""
+    if banded is None:
+        banded = simhash_banded_for_docs(docs)
     if max_bucket_size is not None:
         small = (
             banded.groupBy("band", "bandbits")
@@ -557,9 +564,12 @@ def simhash_oversized_buckets(spark: SparkSession, sf_dir: str,
 
 
 def oversized_buckets_for_docs(docs: DataFrame,
-                               max_bucket_size: int = SIMHASH_MAX_BUCKET) -> DataFrame:
-    """DataFrame-level core of `simhash_oversized_buckets`."""
-    banded = simhash_banded_for_docs(docs)
+                               max_bucket_size: int = SIMHASH_MAX_BUCKET,
+                               banded: DataFrame | None = None) -> DataFrame:
+    """DataFrame-level core of `simhash_oversized_buckets`. `banded` as
+    in `simhash_pairs_for_docs` (share one signature pass)."""
+    if banded is None:
+        banded = simhash_banded_for_docs(docs)
     return (
         banded.groupBy("band", "bandbits")
         .agg(F.count("*").alias("bucket_n"))

@@ -290,8 +290,14 @@ def _stages(spark: SparkSession, sf_dir: str,
     # stage 2 — simhash near-dup: drop the LARGER member of every
     # (hamming ≤ max_hamming) pair; keep-smallest is the same greedy
     # deterministic rule as the exact stage's min-doc_id keeper
+    # r7: ONE 60-bit signature pass feeds both the pair miner and the
+    # funnel's skew-valve audit (the audit previously re-tokenized and
+    # re-aggregated the whole banded table)
+    from ..functions.dedup import simhash_banded_for_docs
+
+    banded = simhash_banded_for_docs(kept.select("doc_id", "text")).cache()
     pairs = simhash_pairs_for_docs(
-        kept.select("doc_id", "text"), max_hamming=max_hamming
+        kept.select("doc_id", "text"), max_hamming=max_hamming, banded=banded
     ).cache()  # consumed twice (loser set + funnel count); at 100 TB
     # this is a small materialized pairs table, not a recompute of the
     # banded self-join
@@ -302,11 +308,14 @@ def _stages(spark: SparkSession, sf_dir: str,
     # so the per-language path is unit-testable: quality_token_stage)
     final = quality_token_stage(uniq)
     dropped = oversized_buckets_for_docs(
-        kept.select("doc_id", "text"), max_bucket_size=SIMHASH_MAX_BUCKET
+        kept.select("doc_id", "text"),
+        max_bucket_size=SIMHASH_MAX_BUCKET,
+        banded=banded,
     )
     result = {
         "docs": docs,
         "kept": kept,
+        "banded": banded,
         "pairs": pairs,
         "uniq": uniq,
         "final": final,
