@@ -43,8 +43,8 @@ from pyspark.sql import functions as F
 
 from smartreader_spark.functions.dedup import (
     _load_documents,
+    _sf_simhash_pairs,
     _spread_docs,
-    simhash_pairs_for_docs,
 )
 
 MAX_ITER = 25
@@ -140,9 +140,10 @@ def dedup_components(spark: SparkSession, sf_dir: str,
     included): (doc_id, component, is_canonical). A downstream dedup
     keeps `is_canonical` rows — exactly one survivor per near-dup
     family, chains and all."""
-    # r7: spread the single-file scan before signature mining (guide §2.5)
-    docs = _spread_docs(_load_documents(spark, sf_dir).select("doc_id", "text"))
-    pairs = simhash_pairs_for_docs(docs, max_hamming=max_hamming).select(
+    # r7: the pair graph comes from the session-shared miner memo
+    # (identical to dedup_simhash_pairs' output — see _PAIRS_CACHE)
+    docs = _load_documents(spark, sf_dir).select("doc_id")
+    pairs = _sf_simhash_pairs(spark, sf_dir, max_hamming=max_hamming).select(
         "doc_a", "doc_b"
     )
     labels = connected_components(docs.select("doc_id"), pairs)
@@ -177,11 +178,11 @@ def dedup_family_keep_best(spark: SparkSession, sf_dir: str,
     serves SURVEY §2's training-data pipeline tier with
     dedup_components."""
     docs = _spread_docs(
-        _load_documents(spark, sf_dir).select("doc_id", "text", "n_chars")
+        _load_documents(spark, sf_dir).select("doc_id", "n_chars")
     )
-    pairs = simhash_pairs_for_docs(
-        docs.select("doc_id", "text"), max_hamming=max_hamming
-    ).select("doc_a", "doc_b")
+    pairs = _sf_simhash_pairs(spark, sf_dir, max_hamming=max_hamming).select(
+        "doc_a", "doc_b"
+    )
     labels = connected_components(docs.select("doc_id"), pairs)
     sized = labels.join(docs.select("doc_id", "n_chars"), "doc_id")
     best = sized.groupBy("component").agg(

@@ -461,6 +461,36 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
 
 SIMHASH_MAX_BUCKET = 1000
 
+#: (applicationId, sf_dir, max_hamming, max_bucket_size) → the
+#: localCheckpointed simhash near-dup pair table. dedup_simhash_pairs,
+#: dedup_components and dedup_family_keep_best all mine the IDENTICAL
+#: pair graph from the same raw table in one session — the
+#: _GATES_CACHE / _STAGES_CACHE memoization precedent applied to the
+#: pair miner (r7): first consumer pays the banded self-join, the
+#: component queries reuse the materialized pairs. Session-keyed,
+#: evicted per key change; checkpoint blocks are GC-freed with the
+#: DataFrames.
+_PAIRS_CACHE: dict = {}
+
+
+def _sf_simhash_pairs(spark: SparkSession, sf_dir: str,
+                      max_hamming: int = 3,
+                      max_bucket_size: int | None = SIMHASH_MAX_BUCKET) -> DataFrame:
+    key = (
+        spark.sparkContext.applicationId, sf_dir, max_hamming, max_bucket_size
+    )
+    cached = _PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    docs = _spread_docs(_load_documents(spark, sf_dir).select("doc_id", "text"))
+    pairs = simhash_pairs_for_docs(
+        docs, max_hamming=max_hamming, max_bucket_size=max_bucket_size
+    ).localCheckpoint(eager=True)
+    for k in [k for k in _PAIRS_CACHE if k[0] == key[0] and k != key]:
+        _PAIRS_CACHE.pop(k)
+    _PAIRS_CACHE[key] = pairs
+    return pairs
+
 
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str,
                            max_hamming: int = 3,
@@ -491,9 +521,8 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str,
     recall trade is observable in the primary path (ADVICE r3). The count
     table is at most 6·1024 rows, so the cap costs one broadcast join,
     never a shuffle. Pass ``max_bucket_size=None`` to disable."""
-    docs = _spread_docs(_load_documents(spark, sf_dir).select("doc_id", "text"))
-    return simhash_pairs_for_docs(
-        docs, max_hamming=max_hamming, max_bucket_size=max_bucket_size
+    return _sf_simhash_pairs(
+        spark, sf_dir, max_hamming=max_hamming, max_bucket_size=max_bucket_size
     )
 
 

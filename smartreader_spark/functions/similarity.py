@@ -135,13 +135,17 @@ def brute_force_topk(spark: SparkSession, sf_dir: str,
 
     # r7: spread the single-file scan over the cluster and compute each
     # side's norm ONCE before the join — cosine = dot/(qn·nrm) is the
-    # identical value with one interpreted fold per pair instead of three
-    emb = _spread(_load(spark, sf_dir).select("vec_id", "embedding"))
-    emb = emb.withColumn("nrm", _norm(F.col("embedding")))
-    queries = emb.filter(F.col("vec_id") < n_queries).select(
+    # identical value with one interpreted fold per pair instead of three.
+    # The tiny query side branches off BEFORE the repartition so its
+    # vec_id filter pushes into the scan (a broadcast subtree above the
+    # exchange re-ran the whole corpus-side pass to produce 8 rows —
+    # measured as the dominant cost of the sibling ivf query).
+    base = _load(spark, sf_dir).select("vec_id", "embedding")
+    emb = _spread(base).withColumn("nrm", _norm(F.col("embedding")))
+    queries = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q"),
-        F.col("nrm").alias("qn"),
+        _norm(F.col("embedding")).alias("qn"),
     )
     score = F.round(
         _dot(F.col("q"), F.col("embedding")) / (F.col("qn") * F.col("nrm")), 6
@@ -243,10 +247,18 @@ def ivf_topk(spark: SparkSession, sf_dir: str,
     if fast:
         # r7: spread the single-file scan; ONE interpreted row norm per
         # row (not one per centroid); codebook + centroid norms fold to
-        # SQL literals — identical cosine values (helper block above)
+        # SQL literals — identical cosine values (helper block above).
+        # The probe side branches off the PRE-spread scan so its vec_id
+        # filter pushes into the scan — otherwise the broadcast subtree
+        # re-ran the full 20k-row scoring pass to emit 8 query rows
+        # (measured: the scored stage dropped 3.5 s → join-only cost)
+        probe_src = emb.filter(F.col("vec_id") < n_queries).withColumn(
+            "nrm", _norm(F.col("embedding"))
+        )
         emb = _spread(emb).withColumn("nrm", _norm(F.col("embedding")))
         scores = _cell_scores_sql(centroids)
     else:
+        probe_src = emb.filter(F.col("vec_id") < n_queries)
         scores = _cell_scores(F.col("embedding"), centroids)
     assigned = emb.withColumn(
         "cell", (-F.array_max(scores)["nc"]).cast("int")
@@ -266,7 +278,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str,
     ]
     if fast:
         probe_cols.append(F.col("nrm").alias("qn"))
-    probes = emb.filter(F.col("vec_id") < n_queries).select(*probe_cols)
+    probes = probe_src.select(*probe_cols)
     if fast:
         score = F.round(
             _dot(F.col("q"), F.col("embedding"))
@@ -588,19 +600,23 @@ def lsh_bucketed_topk(spark: SparkSession, sf_dir: str,
     from pyspark.sql.window import Window
 
     # r7: spread the single-file scan; literal-weight SRP planes (same
-    # bucket bits — see _srp_weights); norms once per side (same cosine)
-    emb = _spread(_load(spark, sf_dir).select("vec_id", "embedding"))
+    # bucket bits — see _srp_weights); norms once per side (same cosine).
+    # The query side branches off the PRE-spread scan so its filter
+    # pushes into the scan (the ivf broadcast-subtree lesson)
+    base = _load(spark, sf_dir).select("vec_id", "embedding")
+    emb = _spread(base)
     dim = _dim_of(spark, sf_dir)
     emb_b = emb.withColumn(
         "bucket", _srp_bucket(F.col("embedding"), n_planes, dim=dim)
     )
     if dim:
         emb_b = emb_b.withColumn("nrm", _norm(F.col("embedding")))
-        queries = emb_b.filter(F.col("vec_id") < n_queries).select(
+        qsrc = base.filter(F.col("vec_id") < n_queries)
+        queries = qsrc.select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q"),
-            F.col("bucket").alias("qbucket"),
-            F.col("nrm").alias("qn"),
+            _srp_bucket(F.col("embedding"), n_planes, dim=dim).alias("qbucket"),
+            _norm(F.col("embedding")).alias("qn"),
         )
         score = F.round(
             _dot(F.col("q"), F.col("embedding"))
