@@ -38,7 +38,7 @@ pipeline tier, composing with functions/dedup.py's pair miners.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from smartreader_spark.functions.dedup import (
@@ -76,12 +76,22 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     par = vertices.sparkSession.sparkContext.defaultParallelism
     sym = sym.repartition(par, "src").localCheckpoint(eager=True)
 
-    labels = vertices.select(
-        F.col("doc_id"), F.col("doc_id").alias("component")
-    ).localCheckpoint(eager=True)
-    prev_sum = labels.agg(
-        F.sum(F.col("component").cast("decimal(38,0)"))
-    ).first()[0]
+    # convergence detection rides the checkpoint job itself: the
+    # label-sum invariant is collected as an observed metric of the SAME
+    # action that materializes the round (CollectMetrics is evaluated
+    # while the partitions stream into the checkpoint), so each round is
+    # ONE driver action instead of two — the per-round scheduling
+    # latency was the measured floor of this operator (r7).
+    def _ckpt_with_sum(df: DataFrame):
+        obs = Observation()
+        ck = df.observe(
+            obs, F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).localCheckpoint(eager=True)
+        return ck, obs.get["s"]
+
+    labels, prev_sum = _ckpt_with_sum(
+        vertices.select(F.col("doc_id"), F.col("doc_id").alias("component"))
+    )
 
     LAST_ROUNDS = 0
     for _ in range(max_iter):
@@ -123,10 +133,7 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
                 F.least(F.col("l.component"), F.col("m.ccomp")).alias("component"),
             )
         )
-        labels = jumped.localCheckpoint(eager=True)
-        cur_sum = labels.agg(
-            F.sum(F.col("component").cast("decimal(38,0)"))
-        ).first()[0]
+        labels, cur_sum = _ckpt_with_sum(jumped)
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
