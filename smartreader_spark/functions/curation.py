@@ -673,10 +673,17 @@ def dsir_importance(spark: SparkSession, sf_dir: str,
         .cast("long")
         .alias("micro"),
     )
+    # score from the checkpointed count table, NOT the raw feature
+    # stream — joining `feat` here re-ran the tokenize+md5 corpus pass a
+    # second time. sum(c*micro) / sum(c) over ≤ n_buckets rows per doc
+    # is the exact integer equivalent of summing micro per occurrence.
     per = (
-        feat.join(lr, "b")
+        doc_b.join(lr, "b")
         .groupBy("doc_id")
-        .agg(F.sum("micro").alias("s_micro"), F.count("*").alias("n_feats"))
+        .agg(
+            F.sum(F.col("c") * F.col("micro")).alias("s_micro"),
+            F.sum("c").alias("n_feats"),
+        )
     )
     avg = F.when(
         F.col("n_feats") > 0,
