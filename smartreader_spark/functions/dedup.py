@@ -621,18 +621,22 @@ def simhash_wide_signatures(docs: DataFrame, n_bits: int = 60) -> DataFrame:
         "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok")
     ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, n_hex), 16, 10).cast("long"))
 
+    # branch-free aggregate (r7 continuation): sum(±1) > 0 over tokens is
+    # exactly 2*sum(bit_i) > n_tokens, so each of the 60 sums is a bare
+    # shiftright+AND instead of a conditional — same integer signature
+    # (A/B digest-identical), ~40% less generated aggregate code, which
+    # also cuts the first-run janino compile cost.
     agg = toks.groupBy("doc_id").agg(
+        F.count("*").alias("nt"),
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
+            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
             for i in range(n_bits)
-        ]
+        ],
     )
     return agg.select(
         "doc_id",
         sum(
-            (F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+            (F.when(F.col(f"b{i}") * 2 > F.col("nt"), F.lit(1 << i)).otherwise(F.lit(0)))
             for i in range(n_bits)
         ).cast("long").alias("simhash"),
     )
@@ -647,18 +651,20 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok")
     ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long"))
 
+    # branch-free: sign(Σ±1) > 0 ⟺ 2*Σbit_i > n_tokens (see
+    # simhash_wide_signatures) — identical integer signatures, smaller
+    # generated aggregate.
     agg = toks.groupBy("doc_id").agg(
+        F.count("*").alias("nt"),
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
+            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
             for i in range(16)
-        ]
+        ],
     )
     sim = agg.select(
         "doc_id",
         sum(
-            (F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+            (F.when(F.col(f"b{i}") * 2 > F.col("nt"), F.lit(1 << i)).otherwise(F.lit(0)))
             for i in range(16)
         ).cast("int").alias("simhash"),
     ).orderBy("doc_id")
