@@ -625,20 +625,19 @@ def simhash_wide_signatures(docs: DataFrame, n_bits: int = 60) -> DataFrame:
     # exactly 2*sum(bit_i) > n_tokens, so each of the 60 sums is a bare
     # shiftright+AND instead of a conditional — same integer signature
     # (A/B digest-identical), ~40% less generated aggregate code, which
-    # also cuts the first-run janino compile cost.
+    # also cuts the first-run janino compile cost. The expressions are
+    # built as SQL strings (the codebook _lit_mat_sql discipline): the
+    # Column-API construction of 60 aggregates + the 60-term bit
+    # assembly was ~1.6 s of py4j driver time per fresh session.
     agg = toks.groupBy("doc_id").agg(
-        F.count("*").alias("nt"),
-        *[
-            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
-            for i in range(n_bits)
-        ],
+        F.expr("count(*) AS nt"),
+        *[F.expr(f"sum(shiftright(h, {i}) & 1) AS b{i}") for i in range(n_bits)],
+    )
+    bits = " + ".join(
+        f"if(b{i} * 2 > nt, {1 << i}L, 0L)" for i in range(n_bits)
     )
     return agg.select(
-        "doc_id",
-        sum(
-            (F.when(F.col(f"b{i}") * 2 > F.col("nt"), F.lit(1 << i)).otherwise(F.lit(0)))
-            for i in range(n_bits)
-        ).cast("long").alias("simhash"),
+        "doc_id", F.expr(f"CAST(({bits}) AS BIGINT) AS simhash")
     )
 
 
@@ -651,21 +650,16 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok")
     ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long"))
 
-    # branch-free: sign(Σ±1) > 0 ⟺ 2*Σbit_i > n_tokens (see
-    # simhash_wide_signatures) — identical integer signatures, smaller
-    # generated aggregate.
+    # branch-free + expr-string construction: sign(Σ±1) > 0 ⟺
+    # 2*Σbit_i > n_tokens (see simhash_wide_signatures) — identical
+    # integer signatures, smaller generated aggregate, ~1 py4j call per
+    # expression instead of ~6.
     agg = toks.groupBy("doc_id").agg(
-        F.count("*").alias("nt"),
-        *[
-            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
-            for i in range(16)
-        ],
+        F.expr("count(*) AS nt"),
+        *[F.expr(f"sum(shiftright(h, {i}) & 1) AS b{i}") for i in range(16)],
     )
+    bits = " + ".join(f"if(b{i} * 2 > nt, {1 << i}, 0)" for i in range(16))
     sim = agg.select(
-        "doc_id",
-        sum(
-            (F.when(F.col(f"b{i}") * 2 > F.col("nt"), F.lit(1 << i)).otherwise(F.lit(0)))
-            for i in range(16)
-        ).cast("int").alias("simhash"),
+        "doc_id", F.expr(f"CAST(({bits}) AS INT) AS simhash")
     ).orderBy("doc_id")
     return sim

@@ -172,16 +172,26 @@ def quality_token_stage(uniq: DataFrame) -> DataFrame:
     uniq = uniq.withColumn("_toks", F.split(_norm(F.col("text")), " "))
     toks = F.col("_toks")
     n_toks = F.size(toks)
-    def _hits(words):
-        # one-arg lambda (PySpark treats a 2-arg lambda as element+index)
-        arr = F.array([F.lit(w) for w in words])
-        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
-    lang_structs = [
-        F.struct(_hits(words).alias("hits"), F.lit(lang).alias("lang"))
-        for lang, words in STOPWORDS.items()
-    ]
-    best = F.array_max(F.array(*lang_structs))
+    # the 13 per-language hit counters are assembled as ONE SQL string
+    # (the codebook _lit_mat_sql discipline): building them through the
+    # Column API was ~700 py4j round-trips (~0.5-1 s of driver time per
+    # fresh session). Same expressions — size(filter(...)) over a
+    # stopword array literal per language, argmax by (hits, lang) via
+    # array_max over structs — so results are identical.
+    def _hits_sql(words):
+        # one-arg lambda (PySpark treats a 2-arg lambda as element+index)
+        arr = "array(" + ",".join(f"'{w}'" for w in words) + ")"
+        return f"size(filter(_toks, t -> array_contains({arr}, t)))"
+
+    best = F.expr(
+        "array_max(array("
+        + ",".join(
+            f"struct({_hits_sql(words)} AS hits, '{lang}' AS lang)"
+            for lang, words in STOPWORDS.items()
+        )
+        + "))"
+    )
     stop_hits = best["hits"]
     punct = F.length(
         F.regexp_replace(F.col("text"), "[^" + PUNCT_CHARS + "]", "")
