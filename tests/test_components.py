@@ -79,6 +79,23 @@ def test_components_no_edges_is_identity(spark):
     assert got == {i: i for i in range(5)}
 
 
+def test_components_observed_convergence_is_stable(spark):
+    # r7: convergence detection rides the checkpoint job as an observed
+    # metric. Pin that the fixpoint detection still fires (rounds stay
+    # log-like on the worst-case path, NOT diameter-bound) and that a
+    # rerun is label- and round-identical.
+    import smartreader_spark.functions.components as C
+
+    n = 64
+    edges = [(i, i + 1) for i in range(n - 1)]
+    got1 = _components(spark, n, edges)
+    r1 = C.LAST_ROUNDS
+    got2 = _components(spark, n, edges)
+    assert got1 == got2 == {i: 0 for i in range(n)}
+    assert r1 == C.LAST_ROUNDS
+    assert 1 < r1 <= 10  # pointer jumping: ~log2(63), never 63
+
+
 def test_dedup_components_labels_every_document(spark):
     from smartreader_spark.functions.components import dedup_components
 
